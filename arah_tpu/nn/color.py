@@ -1,0 +1,134 @@
+"""IDR-style rendering (color) network.
+
+Functional re-design of reference
+`im2mesh/metaavatar_render/models/decoder.py:10-124` (`RenderingNetwork`):
+weight-normed ReLU MLP over [points, PE(view_dirs), normals, features],
+skip connection re-injecting the input, sigmoid output. Pose-feature
+variants {none, leap, root, latent, hybrid} change the feature width
+(`metaavatar_render/config.py:106-123`).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from arah_tpu.core.embedder import positional_encoding, embedding_dim
+from arah_tpu.nn.layers import init_wn_linear, wn_linear
+from arah_tpu.nn.pose_encoder import init_pose_encoder, pose_encoder_apply
+
+
+class ColorConfig(NamedTuple):
+    d_feature: int = 384          # 256 sdf feature + pose feature width
+    mode: str = 'idr'             # idr | no_view_dir | no_normal
+    d_in: int = 9
+    d_out: int = 3
+    d_hidden: int = 256
+    n_layers: int = 5
+    multires: int = 0             # PE on points
+    multires_view: int = 4        # PE on view dirs
+    skips: tuple = (3,)
+    squeeze_out: bool = True
+    pose_encoder: str | None = 'latent'  # None|leap|root|latent|hybrid
+    rel_joints: bool = True
+
+
+def _dims(cfg: ColorConfig):
+    d0 = cfg.d_in + cfg.d_feature
+    if cfg.multires > 0:
+        d0 += embedding_dim(cfg.multires, 3) - 3
+    if cfg.multires_view > 0:
+        d0 += embedding_dim(cfg.multires_view, 3) - 3
+    dims = [d0] + [cfg.d_hidden] * cfg.n_layers + [cfg.d_out]
+    for skip in cfg.skips:
+        dims[skip] = dims[skip] // 2 + dims[0]
+    return dims
+
+
+def init_color(key, cfg: ColorConfig):
+    dims = _dims(cfg)
+    n = len(dims) - 1
+    keys = jax.random.split(key, n + 1)
+    layers = []
+    for l in range(n):
+        out_dim = dims[l + 1] - (dims[0] if l + 1 in cfg.skips else 0)
+        layers.append(init_wn_linear(keys[l], dims[l], out_dim))
+    params = {'layers': layers}
+    if cfg.pose_encoder == 'leap':
+        params['pose_encoder'] = init_pose_encoder(keys[-1])
+    return params
+
+
+def color_pose_feature(params, cfg: ColorConfig, pose_cond: dict):
+    """Build the (1, F_pose) pose feature from the pose_cond dict, mirroring
+    `RenderingNetwork.forward` (`decoder.py:78-99`).
+
+    pose_cond keys (as in the reference):
+      rots_full (B, 24, 9), Jtrs_posed (B, 24, 3), latent_code (1, 128),
+      optional rot_noise (1, 9) / trans_noise (1, 3).
+    """
+    if cfg.pose_encoder == 'leap':
+        return pose_encoder_apply(
+            params['pose_encoder'], pose_cond['rots_full'][:1],
+            pose_cond['Jtrs_posed'][:1], rel_joints=cfg.rel_joints)
+    if cfg.pose_encoder in ('root', 'hybrid'):
+        rot = pose_cond['rots_full'][:1, 0].reshape(1, 9)
+        trans = pose_cond['Jtrs_posed'][:1, 0].reshape(1, 3)
+        if 'rot_noise' in pose_cond and 'trans_noise' in pose_cond:
+            rot = rot + pose_cond['rot_noise']
+            trans = trans + pose_cond['trans_noise']
+        feat = jnp.concatenate([rot, trans], axis=-1)
+        if cfg.pose_encoder == 'hybrid':
+            feat = jnp.concatenate([feat, pose_cond['latent_code']], axis=-1)
+        return feat
+    if cfg.pose_encoder == 'latent':
+        return pose_cond['latent_code']
+    return None
+
+
+def color_apply(params, cfg: ColorConfig, points: jax.Array,
+                normals: jax.Array, view_dirs: jax.Array,
+                sdf_feature: jax.Array, pose_feature: jax.Array | None
+                ) -> jax.Array:
+    """RGB at points. All point-shaped args are (N, ·); pose_feature (1, F)
+    is broadcast across points."""
+    if cfg.multires > 0:
+        points = positional_encoding(points, cfg.multires)
+    if cfg.multires_view > 0:
+        view_dirs = positional_encoding(view_dirs, cfg.multires_view)
+
+    feats = sdf_feature
+    if pose_feature is not None:
+        feats = jnp.concatenate([
+            feats,
+            jnp.broadcast_to(pose_feature,
+                             feats.shape[:-1] + pose_feature.shape[-1:])],
+            axis=-1)
+
+    if cfg.mode == 'idr':
+        x0 = jnp.concatenate([points, view_dirs, normals, feats], axis=-1)
+    elif cfg.mode == 'no_view_dir':
+        x0 = jnp.concatenate([points, normals, feats], axis=-1)
+    elif cfg.mode == 'no_normal':
+        x0 = jnp.concatenate([points, view_dirs, feats], axis=-1)
+    else:
+        raise ValueError(cfg.mode)
+
+    x = x0
+    n = cfg.n_layers + 1
+    for l in range(n):
+        if l in cfg.skips:
+            x = jnp.concatenate([x0, x], axis=-1)
+        x = wn_linear(params['layers'][l], x)
+        if l < n - 1:
+            x = jax.nn.relu(x)
+    return jax.nn.sigmoid(x) if cfg.squeeze_out else x
+
+
+def feature_width(pose_encoder: str | None, latent_dim: int = 128) -> int:
+    """SDF-feature + pose-feature width (`metaavatar_render/config.py:106-123`)."""
+    base = 256
+    return base + {None: 0, 'leap': 144, 'root': 12,
+                   'latent': latent_dim, 'hybrid': 12 + latent_dim
+                   }[pose_encoder]

@@ -1,0 +1,237 @@
+"""Dense TPU ray tracer for articulated human SDFs.
+
+Re-design of reference `im2mesh/metaavatar_render/renderer/ray_tracing.py`
+(`BodyRayTracing`): identical algorithm — KNN-skinning sphere tracing, joint
+root-finding refinement, near/far-surface stratified sampling, canonical
+correspondence search — but with *dense fixed-shape* ray/sample blocks and
+convergence masks carried as data instead of boolean gather/scatter, and a
+`lax.fori_loop` sphere tracer. Everything here runs under stop_gradient
+(the reference wraps the tracer in no_grad).
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from arah_tpu.core.body import (normalize_canonical_points,
+                                sdf_to_metric, unnormalize_canonical_points)
+from arah_tpu.core.rays import stratified_z_vals
+from arah_tpu.ops.knn import nn_idx
+from arah_tpu.solver.root_find import (CanonicalFrame, search_canonical_corr,
+                                       search_iso_surface_depth)
+
+
+class RayTracerConfig(NamedTuple):
+    root_finding_threshold: float = 1e-5
+    sphere_tracing_iters: int = 50
+    n_steps: int = 64
+    near_surface_vol_samples: int = 16
+    far_surface_vol_samples: int = 16
+    surface_vol_range: float = 0.05
+    clamp_dist: float = 0.1
+    corr_max_steps: int = 50
+
+
+class SmplRef(NamedTuple):
+    """Posed SMPL reference data for KNN-based initialization."""
+    verts_posed: jax.Array        # (V, 3) posed verts in world (with trans)
+    skinning_weights: jax.Array   # (V, 24)
+
+
+class SphereTraceResult(NamedTuple):
+    points_norm: jax.Array   # (N, 3) canonical surface points (normalized)
+    transforms: jax.Array    # (N, 4, 4) forward transforms at surface
+    unconverged: jax.Array   # (N,) bool — rays needing dense sampling
+    start_dis: jax.Array     # (N,) surface depth (or near bound)
+    end_dis: jax.Array       # (N,) far bound
+
+
+def _nn_backward_map(points_world: jax.Array, smpl: SmplRef,
+                     frame: CanonicalFrame):
+    """Nearest-SMPL-vertex backward skinning: world points -> canonical.
+
+    Mirrors `inv_transform_points_smpl_verts` (`ray_tracing.py:382-400`).
+    Returns (x_hat_metric, x_hat_norm, T_fwd).
+    """
+    idx = nn_idx(points_world, smpl.verts_posed)
+    w = smpl.skinning_weights[idx]                       # (N, 24)
+    T_fwd = jnp.einsum('nj,jab->nab', w, frame.bone_transforms)
+    T_bwd = jnp.linalg.inv(T_fwd)
+    x = points_world - frame.trans
+    x_hat = jnp.einsum('nab,nb->na', T_bwd[:, :3, :3], x) + T_bwd[:, :3, 3]
+    x_norm = normalize_canonical_points(
+        x_hat, frame.coord_min, frame.coord_max, frame.center)
+    return x_hat, x_norm, T_fwd
+
+
+def sphere_trace(cfg: RayTracerConfig, sdf_fn: Callable, skin_fn: Callable,
+                 frame: CanonicalFrame, smpl: SmplRef, cam_loc: jax.Array,
+                 ray_dirs: jax.Array, near: jax.Array, far: jax.Array,
+                 eval_mode: bool = False) -> SphereTraceResult:
+    """KNN-skinning sphere tracing + joint root-finding refinement.
+
+    Mirrors `BodyRayTracing.sphere_tracing` (`ray_tracing.py:174-296`).
+    cam_loc: (N, 3) per-ray origins; ray_dirs: (N, 3); near/far: (N,).
+    """
+    n = ray_dirs.shape[0]
+    thresh = cfg.root_finding_threshold
+
+    class Carry(NamedTuple):
+        t: jax.Array             # (N,) marching depth
+        unfinished: jax.Array    # (N,)
+        diverged: jax.Array      # (N,)
+        x_norm: jax.Array        # (N, 3) latest canonical estimate
+        T_fwd: jax.Array         # (N, 4, 4)
+
+    unfinished0 = near < far
+    carry = Carry(near, unfinished0, near >= far,
+                  jnp.zeros((n, 3)), jnp.zeros((n, 4, 4)))
+
+    def body(_, c: Carry):
+        pts = cam_loc + c.t[:, None] * ray_dirs
+        _, x_norm, T_fwd = _nn_backward_map(pts, smpl, frame)
+        sdf = sdf_to_metric(sdf_fn(x_norm), frame.coord_min, frame.coord_max)
+        # lanes outside the active set behave like the reference's 1e11 fill
+        sdf = jnp.where(c.unfinished, sdf, 1e11)
+
+        x_norm_new = jnp.where(c.unfinished[:, None], x_norm, c.x_norm)
+        T_new = jnp.where(c.unfinished[:, None, None], T_fwd, c.T_fwd)
+
+        sdf_march = jnp.clip(sdf, -cfg.clamp_dist, cfg.clamp_dist)
+        update = (jnp.abs(sdf_march) > thresh) & (jnp.abs(sdf) < 1e6)
+        t = jnp.where(update, c.t + sdf_march, c.t)
+        diverged = jnp.where(update, t >= far, c.diverged)
+        remove = (c.unfinished & (jnp.abs(sdf) <= thresh)) | diverged
+        unfinished = c.unfinished & ~remove
+        return Carry(t, unfinished, diverged, x_norm_new, T_new)
+
+    c = jax.lax.fori_loop(0, cfg.sphere_tracing_iters, body, carry)
+
+    # Joint root-finding refinement of (canonical point, depth).
+    x_hat = unnormalize_canonical_points(
+        c.x_norm, frame.coord_min, frame.coord_max, frame.center)
+    valid = (~c.diverged) if eval_mode else jnp.ones((n,), bool)
+    iso = search_iso_surface_depth(
+        sdf_fn, skin_fn, frame, cam_loc, ray_dirs, valid,
+        x_hat, c.t, c.T_fwd, max_steps=cfg.sphere_tracing_iters,
+        cvg_thresh=thresh)
+
+    converged = iso.converged & (iso.z_depth >= near) & (iso.z_depth <= far)
+    t_out = jnp.where(converged, iso.z_depth, near)
+    x_out_norm = normalize_canonical_points(
+        iso.x_hat, frame.coord_min, frame.coord_max, frame.center)
+    return SphereTraceResult(x_out_norm, iso.T_fwd, ~converged, t_out, far)
+
+
+class SamplerResult(NamedTuple):
+    z_vals: jax.Array          # (N, S) sorted sample depths
+    sample_mask: jax.Array     # (N, S) active-sample mask
+    points_norm: jax.Array     # (N, S, 3) canonical samples (normalized)
+    transforms: jax.Array      # (N, S, 4, 4) forward transforms
+    converge_mask: jax.Array   # (N, S) root-finding convergence
+
+
+def sample_z_vals(cfg: RayTracerConfig, key, body_mask: jax.Array,
+                  surface_depth: jax.Array, near: jax.Array, far: jax.Array,
+                  eval_mode: bool) -> tuple[jax.Array, jax.Array]:
+    """Per-ray depth samples + activity mask. Mirrors `ray_sampler`
+    (`ray_tracing.py:313-351`): 64 stratified samples on non-converged rays;
+    on converged rays 16+1 near-surface + 16 far-surface samples (sorted),
+    remaining slots masked off.
+    """
+    n = body_mask.shape[0]
+    S = cfg.n_steps
+    ns, fs = cfg.near_surface_vol_samples, cfg.far_surface_vol_samples
+    rng_lin = jnp.linspace(0.0, 1.0, S)
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    # base: [surface-or-near, far]
+    z0 = surface_depth[:, None] + (far - surface_depth)[:, None] * rng_lin
+    if not eval_mode:
+        z0 = stratified_z_vals(k1, z0)
+    mask = jnp.ones((n, S), bool)
+
+    if ns > 0 or fs > 0:
+        lin_ns = jnp.linspace(0.0, 1.0, ns + 1)
+        z_near = (surface_depth[:, None] - cfg.surface_vol_range
+                  + 2.0 * cfg.surface_vol_range * lin_ns)
+        if not eval_mode:
+            z_near = stratified_z_vals(k2, z_near, fix_idx=ns // 2)
+
+        lin_fs = jnp.linspace(0.0, 1.0, max(fs, 1))
+        span = jnp.maximum(surface_depth - cfg.surface_vol_range - near, 1e-5)
+        z_far = near[:, None] + span[:, None] * lin_fs
+        if not eval_mode:
+            z_far = stratified_z_vals(k3, z_far)
+
+        surf = jnp.sort(jnp.concatenate([z_near, z_far], axis=-1), axis=-1)
+        n_surf = ns + 1 + fs
+        z_body = jnp.concatenate([surf, z0[:, n_surf:]], axis=-1)
+        mask_body = jnp.arange(S)[None, :] < n_surf
+        z = jnp.where(body_mask[:, None], z_body, z0)
+        mask = jnp.where(body_mask[:, None], mask_body, mask)
+        return z, mask
+    return z0, mask
+
+
+def canonicalize_samples(cfg: RayTracerConfig, sdf_fn: Callable,
+                         skin_fn: Callable, frame: CanonicalFrame,
+                         smpl: SmplRef, cam_loc: jax.Array,
+                         ray_dirs: jax.Array, z_vals: jax.Array,
+                         sample_mask: jax.Array):
+    """Backward-map all ray samples to canonical space via root-finding.
+
+    Mirrors `inv_transform_points_opt` (`ray_tracing.py:403-461`): KNN-init
+    (nearest posed SMPL vert's skinning weights) then Broyden canonical
+    correspondence search; masked samples are frozen and report
+    converge=False.
+    """
+    n, S = z_vals.shape
+    pts_world = (cam_loc[:, None, :] + z_vals[..., None] * ray_dirs[:, None, :]
+                 ).reshape(-1, 3)
+    flat_mask = sample_mask.reshape(-1)
+
+    idx = nn_idx(pts_world, smpl.verts_posed)
+    w = smpl.skinning_weights[idx]
+    T0 = jnp.einsum('nj,jab->nab', w, frame.bone_transforms)
+    T0_inv = jnp.linalg.inv(T0)
+    x_bar = pts_world - frame.trans
+    x0 = jnp.einsum('nab,nb->na', T0_inv[:, :3, :3], x_bar) + T0_inv[:, :3, 3]
+
+    corr = search_canonical_corr(
+        skin_fn, frame, x_bar, x0, T0, max_steps=cfg.corr_max_steps,
+        cvg_thresh=cfg.root_finding_threshold, active_init=flat_mask)
+
+    x_norm = normalize_canonical_points(
+        corr.x_hat, frame.coord_min, frame.coord_max, frame.center)
+    return (x_norm.reshape(n, S, 3),
+            corr.T_fwd.reshape(n, S, 4, 4),
+            (corr.valid & flat_mask).reshape(n, S))
+
+
+class TraceOutput(NamedTuple):
+    surface: SphereTraceResult
+    samples: SamplerResult
+
+
+def trace_and_sample(cfg: RayTracerConfig, sdf_fn: Callable,
+                     skin_fn: Callable, frame: CanonicalFrame, smpl: SmplRef,
+                     cam_loc: jax.Array, ray_dirs: jax.Array,
+                     near: jax.Array, far: jax.Array, key,
+                     eval_mode: bool = False) -> TraceOutput:
+    """Full ray-tracing pass: sphere trace + sample + canonicalize.
+
+    Mirrors `BodyRayTracing.forward` (`ray_tracing.py:51-172`). Everything
+    is stop_gradient'ed by the renderer caller.
+    """
+    surf = sphere_trace(cfg, sdf_fn, skin_fn, frame, smpl, cam_loc,
+                        ray_dirs, near, far, eval_mode=eval_mode)
+    body_mask = ~surf.unconverged
+    z_vals, sample_mask = sample_z_vals(
+        cfg, key, body_mask, surf.start_dis, near, far, eval_mode)
+    pts, tfs, cvg = canonicalize_samples(
+        cfg, sdf_fn, skin_fn, frame, smpl, cam_loc, ray_dirs, z_vals,
+        sample_mask)
+    return TraceOutput(surf, SamplerResult(z_vals, sample_mask, pts, tfs, cvg))

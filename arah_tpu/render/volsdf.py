@@ -1,0 +1,87 @@
+"""VolSDF-style density conversion and alpha compositing with fixed-size
+per-ray sample budgets.
+
+Re-design of reference `implicit_differentiable_renderer.py:284-289,366-396`:
+the reference scatter-packs a variable number of converged samples per ray;
+on TPU we keep a dense (n_rays, n_samples) layout and *pack valid samples
+left* with a stable argsort on masked depths — identical result, static
+shapes.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+def volsdf_density(sdf: jax.Array, beta: jax.Array) -> jax.Array:
+    """Laplace-CDF density. sdf in metric units, beta scalar (positive).
+
+    density = relu( (1/beta) * (0.5 + 0.5 * sign(-sdf) * (1 - e^{-|sdf|/beta})) )
+    matching `implicit_differentiable_renderer.py:366-368`.
+    """
+    beta = jnp.clip(beta, 1e-6, 1e6)
+    inv_beta = 1.0 / beta
+    inner = 0.5 + 0.5 * jnp.sign(-sdf) * (1.0 - jnp.exp(-jnp.abs(sdf) * inv_beta))
+    return jax.nn.relu(inv_beta * inner)
+
+
+def pack_left(mask: jax.Array, z_vals: jax.Array):
+    """Stable left-packing order for valid samples along the last axis.
+
+    Returns (order, packed_mask): `order` is an int32 index array such that
+    taking values along it moves all valid samples (mask=True) to the left,
+    preserving their relative (ascending-z) order; `packed_mask[i, k]` is
+    True for k < num_valid[i].
+    """
+    n_samples = mask.shape[-1]
+    key = jnp.where(mask, z_vals, 1e10)
+    order = jnp.argsort(key, axis=-1, stable=True).astype(jnp.int32)
+    lengths = jnp.sum(mask, axis=-1, keepdims=True)
+    slot = jnp.arange(n_samples)
+    packed_mask = slot[None, :] < lengths
+    return order, packed_mask
+
+
+class CompositeOutput(NamedTuple):
+    rgb: jax.Array           # (n_rays, 3)
+    weights_sum: jax.Array   # (n_rays,) clipped to [0, 1]
+    weights: jax.Array       # (n_rays, n_samples) compositing weights
+
+
+def composite(rgb_vals: jax.Array, density: jax.Array, z_vals: jax.Array,
+              packed_mask: jax.Array, n_steps: int,
+              render_last_pt: bool = False) -> CompositeOutput:
+    """Alpha-composite left-packed samples.
+
+    Args:
+      rgb_vals: (n_rays, S, 3); density: (n_rays, S); z_vals: (n_rays, S)
+        — all already left-packed; invalid slots arbitrary.
+      packed_mask: (n_rays, S) validity after packing.
+      n_steps: the sampler's base step count (sets the final interval width
+        1/n_steps, `implicit_differentiable_renderer.py:383-385`).
+    """
+    n_rays, S = density.shape
+    z = jnp.where(packed_mask, z_vals, 1e10)
+    density = jnp.where(packed_mask, density, 0.0)
+
+    dists = z[..., 1:] - z[..., :-1]
+    tail = jnp.full((n_rays, 1), 1e10 if render_last_pt else 1.0 / n_steps,
+                    z.dtype)
+    dists = jnp.concatenate([dists, tail], axis=-1)
+    if not render_last_pt:
+        # last *valid* sample also gets the fixed 1/n_steps interval
+        lengths = jnp.sum(packed_mask, axis=-1)
+        is_last = jnp.arange(S)[None, :] == (lengths - 1)[:, None]
+        dists = jnp.where(is_last, 1.0 / n_steps, dists)
+
+    alpha = 1.0 - jnp.exp(-density * dists)
+    trans = jnp.cumprod(
+        jnp.concatenate([jnp.ones((n_rays, 1), alpha.dtype),
+                         1.0 - alpha + 1e-7], axis=-1), axis=-1)[:, :-1]
+    weights = alpha * trans
+    weights_sum = jnp.clip(
+        jnp.sum(weights * packed_mask, axis=-1), 0.0, 1.0)
+    rgb = jnp.sum(rgb_vals * (weights * packed_mask)[..., None], axis=1)
+    return CompositeOutput(rgb, weights_sum, weights)
