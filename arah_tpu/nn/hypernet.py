@@ -122,9 +122,12 @@ def siren_layer_dims(cfg: HypernetConfig):
 
 
 def init_hypernet(key, cfg: HypernetConfig):
-    """Build hypernet params. `hypo_init` entries are the frozen pretrained
-    SIREN weights (zeros by default; loaded from a MetaAvatar checkpoint by
-    the converter, see train/checkpoints.py)."""
+    """Build hypernet params. `hypo_init` entries are the frozen base SIREN
+    weights the hypernetwork emits residuals against: in the reference they
+    come from a pretrained MetaAvatar checkpoint (`hyperlayers.py:315-342`,
+    loaded here by train/checkpoints.py); absent one we default to a proper
+    sine-initialized SIREN (the reference's zero default leaves the
+    generated net degenerate — it is unusable without the checkpoint)."""
     dims = siren_layer_dims(cfg)
     keys = jax.random.split(key, len(dims) + 2)
     hyper_layers = []
@@ -134,7 +137,10 @@ def init_hypernet(key, cfg: HypernetConfig):
             keys[i], cfg.hyper_in_ch, cfg.hyper_hidden_ch,
             cfg.hyper_num_hidden_layers, d_in * d_out + d_out,
             zero_last=True))
-        hypo_init.append(jnp.zeros((d_in * d_out + d_out,)))
+        base = init_linear(jax.random.fold_in(keys[i], 7), d_in, d_out,
+                           'sine_first' if i == 0 else 'sine')
+        hypo_init.append(jnp.concatenate(
+            [base['w'].reshape(-1), base['b']]))
     params = {'hyper_layers': hyper_layers, 'hypo_init': hypo_init}
     if cfg.use_film:
         n_mod = (len(dims) - 1) * cfg.hidden_features

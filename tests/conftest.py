@@ -40,8 +40,35 @@ def add_reference_path():
         sys.path.insert(0, '/root/reference')
     # The vendored reference code imports torchvision at module scope but
     # never uses it on the paths we test; stub it out.
-    if 'torchvision' not in sys.modules:
-        tv = types.ModuleType('torchvision')
-        tv.utils = types.ModuleType('torchvision.utils')
-        sys.modules['torchvision'] = tv
-        sys.modules['torchvision.utils'] = tv.utils
+    for stub in ('torchvision', 'torchvision.utils', 'plyfile', 'skimage',
+                 'skimage.measure', 'lpips', 'pytorch3d', 'pytorch3d.ops'):
+        if stub not in sys.modules:
+            mod = types.ModuleType(stub)
+            if '.' in stub:
+                parent, child = stub.rsplit('.', 1)
+                setattr(sys.modules.get(parent, mod), child, mod)
+            sys.modules[stub] = mod
+    # Install namespace-package stubs so reference submodules import without
+    # executing heavyweight package __init__ files (torchmeta pulls in
+    # torchvision datasets; im2mesh pulls in cv2-bound data code).
+    for pkg_name, path in (
+            ('torchmeta', '/root/reference/torchmeta'),
+            ('im2mesh', '/root/reference/im2mesh'),
+            ('im2mesh.metaavatar_render',
+             '/root/reference/im2mesh/metaavatar_render')):
+        if pkg_name not in sys.modules:
+            pkg = types.ModuleType(pkg_name)
+            pkg.__path__ = [path]
+            sys.modules[pkg_name] = pkg
+
+
+def load_ref_siren_modules():
+    """Import the reference SIREN/hypernet stack with stubbed packages."""
+    add_reference_path()
+    import importlib
+    # import decoder first: the reference has a circular import between
+    # hyperlayers and siren_modules that only resolves in this order
+    importlib.import_module('im2mesh.metaavatar.models.decoder')
+    hyperlayers = importlib.import_module('im2mesh.hyperlayers')
+    siren = importlib.import_module('im2mesh.metaavatar.models.siren_modules')
+    return siren, hyperlayers

@@ -1,0 +1,184 @@
+"""Network parity tests: random-init reference torch modules vs arah_tpu
+functional modules with converted weights."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from conftest import add_reference_path, load_ref_siren_modules
+
+add_reference_path()
+
+import torch  # noqa: E402
+
+from arah_tpu.nn.color import ColorConfig, color_apply, init_color  # noqa
+from arah_tpu.nn.hypernet import (HypernetConfig, hypernet_cond,  # noqa
+                                  hypernet_generate, init_hypernet)
+from arah_tpu.nn.pose_encoder import pose_encoder_apply  # noqa
+from arah_tpu.nn.siren import siren_apply  # noqa
+from arah_tpu.nn.skinning import (SkinningConfig, init_skinning,  # noqa
+                                  skinning_logits, skinning_weights)
+from arah_tpu.train.checkpoints import (convert_hypernet,  # noqa
+                                        convert_pose_encoder, convert_wn_mlp)
+
+
+def sd_numpy(module, prefix=''):
+    return {prefix + k: v.detach().numpy()
+            for k, v in module.state_dict().items()}
+
+
+class TestPoseEncoder:
+    @pytest.mark.parametrize('rel_joints', [False, True])
+    def test_parity(self, rng, rel_joints):
+        siren, _ = load_ref_siren_modules()
+        torch.manual_seed(0)
+        ref = siren.HierarchicalPoseEncoder(rel_joints=rel_joints)
+        params = convert_pose_encoder(sd_numpy(ref), '')
+        rots = rng.randn(2, 24, 9).astype(np.float32)
+        Jtrs = rng.randn(2, 24, 3).astype(np.float32)
+        with torch.no_grad():
+            out_ref = ref(torch.tensor(rots), torch.tensor(Jtrs)).numpy()
+        out = np.asarray(pose_encoder_apply(
+            params, jnp.asarray(rots), jnp.asarray(Jtrs),
+            rel_joints=rel_joints))
+        np.testing.assert_allclose(out, out_ref, atol=2e-5)
+
+
+class TestHypernet:
+    def test_parity_film(self, rng):
+        siren, _ = load_ref_siren_modules()
+        torch.manual_seed(0)
+        ref = siren.HyperBVPNet(out_features=1, type='sine', in_features=3,
+                                hyper_in_ch=144, hidden_features=256,
+                                num_hidden_layers=5, hierarchical_pose=True,
+                                use_FiLM=True)
+        cfg = HypernetConfig(in_features=3, out_features=1,
+                             hidden_features=256, num_hidden_layers=5,
+                             hyper_in_ch=144, use_film=True,
+                             hierarchical_pose=True)
+        params = convert_hypernet(sd_numpy(ref), cfg, prefix='')
+
+        rots = rng.randn(1, 24, 9).astype(np.float32)
+        Jtrs = rng.randn(1, 24, 3).astype(np.float32)
+        latent = rng.randn(1, 128).astype(np.float32)
+        coords = (rng.rand(1, 64, 3).astype(np.float32) - 0.5) * 2
+
+        with torch.no_grad():
+            out_ref = ref({'coords': torch.tensor(coords),
+                           'rots': torch.tensor(rots),
+                           'Jtrs': torch.tensor(Jtrs),
+                           'latent': torch.tensor(latent)})
+        cond = hypernet_cond(params, cfg, jnp.asarray(rots),
+                             jnp.asarray(Jtrs))[0]
+        gen = hypernet_generate(params, cfg, cond, jnp.asarray(latent)[0])
+        out = np.asarray(siren_apply(gen, jnp.asarray(coords[0])))
+        np.testing.assert_allclose(
+            out, out_ref['model_out'][0].numpy(), atol=5e-5)
+        # generated per-layer weights match too
+        for i, p_ref in enumerate(out_ref['params']):
+            ours = np.asarray(gen.weights[i]).reshape(-1)
+            np.testing.assert_allclose(ours, p_ref.numpy().reshape(-1),
+                                       atol=2e-5)
+
+    def test_parity_no_film(self, rng):
+        siren, _ = load_ref_siren_modules()
+        torch.manual_seed(1)
+        ref = siren.HyperBVPNet(out_features=1, type='sine', in_features=3,
+                                hyper_in_ch=144, hidden_features=256,
+                                num_hidden_layers=5, hierarchical_pose=True,
+                                use_FiLM=False)
+        cfg = HypernetConfig(use_film=False)
+        params = convert_hypernet(sd_numpy(ref), cfg, prefix='')
+        rots = rng.randn(1, 24, 9).astype(np.float32)
+        Jtrs = rng.randn(1, 24, 3).astype(np.float32)
+        coords = (rng.rand(1, 32, 3).astype(np.float32) - 0.5) * 2
+        with torch.no_grad():
+            out_ref = ref({'coords': torch.tensor(coords),
+                           'rots': torch.tensor(rots),
+                           'Jtrs': torch.tensor(Jtrs)})
+        cond = hypernet_cond(params, cfg, jnp.asarray(rots),
+                             jnp.asarray(Jtrs))[0]
+        gen = hypernet_generate(params, cfg, cond, None)
+        out = np.asarray(siren_apply(gen, jnp.asarray(coords[0])))
+        np.testing.assert_allclose(out, out_ref['model_out'][0].numpy(),
+                                   atol=5e-5)
+
+
+class TestDeformer:
+    def test_parity(self, rng):
+        import importlib
+        decoder_mod = importlib.import_module(
+            'im2mesh.metaavatar.models.decoder')
+        torch.manual_seed(0)
+        ref = decoder_mod.Deformer(d_in=3, d_out=25, d_hidden=128,
+                                   n_layers=4, skip_in=[], cond_in=[],
+                                   multires=0, bias=1.0,
+                                   geometric_init=False, weight_norm=True)
+        cfg = SkinningConfig()
+        params = {'layers': convert_wn_mlp(sd_numpy(ref), '',
+                                           cfg.n_layers + 1)}
+        pts = rng.randn(1, 64, 3).astype(np.float32)
+        with torch.no_grad():
+            out_ref = ref(torch.tensor(pts),
+                          torch.empty(1, 0)).numpy()
+        out = np.asarray(skinning_logits(params, cfg,
+                                         jnp.asarray(pts[0])))
+        np.testing.assert_allclose(out, out_ref[0], atol=2e-5)
+
+    def test_weights_normalized(self, rng):
+        cfg = SkinningConfig()
+        params = init_skinning(jax.random.PRNGKey(0), cfg)
+        w = skinning_weights(params, cfg,
+                             jnp.asarray(rng.randn(32, 3), jnp.float32))
+        np.testing.assert_allclose(np.asarray(w.sum(-1)), 1.0, atol=1e-5)
+
+
+class TestColorNetwork:
+    @pytest.mark.parametrize('mode,pose_enc', [
+        ('idr', 'latent'), ('no_view_dir', None), ('idr', 'leap'),
+    ])
+    def test_parity(self, rng, mode, pose_enc):
+        import importlib
+        decoder_mod = importlib.import_module(
+            'im2mesh.metaavatar_render.models.decoder')
+        from arah_tpu.nn.color import feature_width, color_pose_feature
+        torch.manual_seed(0)
+        d_feature = feature_width(pose_enc)
+        d_in = {'idr': 9, 'no_view_dir': 6, 'no_normal': 6}[mode]
+        # view-dir PE only makes sense when view dirs are inputs (the
+        # reference errors out on no_view_dir + multires_view > 0)
+        mrv = 4 if mode != 'no_view_dir' else 0
+        ref = decoder_mod.RenderingNetwork(
+            d_feature=d_feature, mode=mode, d_in=d_in, d_out=3, d_hidden=256,
+            n_layers=5, weight_norm=True, multires=0, multires_view=mrv,
+            skips=[3], squeeze_out=True, pose_encoder=pose_enc)
+        cfg = ColorConfig(d_feature=d_feature, mode=mode, d_in=d_in,
+                          n_layers=5, multires_view=mrv, skips=(3,),
+                          pose_encoder=pose_enc)
+        params = {'layers': convert_wn_mlp(sd_numpy(ref), '',
+                                           cfg.n_layers + 1)}
+        if pose_enc == 'leap':
+            params['pose_encoder'] = convert_pose_encoder(
+                sd_numpy(ref.pose_encoder), '')
+
+        n = 32
+        pts = rng.randn(n, 3).astype(np.float32)
+        normals = rng.randn(n, 3).astype(np.float32)
+        views = rng.randn(n, 3).astype(np.float32)
+        feats = rng.randn(n, 256).astype(np.float32)
+        pose_cond_np = {
+            'rots_full': rng.randn(1, 24, 9).astype(np.float32),
+            'Jtrs_posed': rng.randn(1, 24, 3).astype(np.float32),
+            'latent_code': rng.randn(1, 128).astype(np.float32),
+        }
+        pose_cond_t = {k: torch.tensor(v) for k, v in pose_cond_np.items()}
+        with torch.no_grad():
+            out_ref = ref(torch.tensor(pts), torch.tensor(normals),
+                          torch.tensor(views), torch.tensor(feats),
+                          pose_cond_t).numpy()
+        pose_cond_j = {k: jnp.asarray(v) for k, v in pose_cond_np.items()}
+        pf = color_pose_feature(params, cfg, pose_cond_j)
+        out = np.asarray(color_apply(params, cfg, jnp.asarray(pts),
+                                     jnp.asarray(normals), jnp.asarray(views),
+                                     jnp.asarray(feats), pf))
+        np.testing.assert_allclose(out, out_ref, atol=2e-5)

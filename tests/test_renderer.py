@@ -1,0 +1,120 @@
+"""End-to-end renderer integration tests on a synthetic body."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from arah_tpu.core.rays import ray_aabb
+from arah_tpu.data.synthetic import synthetic_smpl
+from arah_tpu.model import init_model_params, prepare_frame
+from arah_tpu.nn.color import ColorConfig
+from arah_tpu.nn.hypernet import HypernetConfig
+from arah_tpu.nn.skinning import SkinningConfig
+from arah_tpu.render.ray_tracing import RayTracerConfig
+from arah_tpu.render.renderer import ModelConfig, RenderInputs, render
+
+
+def small_config(train_skinning=False):
+    return ModelConfig(
+        hypernet=HypernetConfig(hidden_features=64, num_hidden_layers=2,
+                                hyper_hidden_ch=64, use_film=True),
+        skinning=SkinningConfig(d_hidden=64, n_layers=2),
+        # sdf feature width == hypernet hidden_features (64) + 128 latent
+        color=ColorConfig(d_feature=64 + 128, d_hidden=64, n_layers=2,
+                          skips=(), pose_encoder='latent'),
+        tracer=RayTracerConfig(sphere_tracing_iters=8, n_steps=16,
+                               near_surface_vol_samples=4,
+                               far_surface_vol_samples=4, corr_max_steps=8),
+        cano_view_dirs=False,
+        train_skinning_net=train_skinning,
+        n_eik_points=64,
+    )
+
+
+def make_inputs(cfg, rng, n_rays=24, training=False):
+    model = synthetic_smpl(n_verts=512)
+    key = jax.random.PRNGKey(0)
+    params = init_model_params(key, cfg, n_latent_frames=4)
+
+    pose = jnp.asarray((rng.randn(72) * 0.2).astype(np.float32))
+    betas = jnp.asarray((rng.randn(10) * 0.3).astype(np.float32))
+    trans = jnp.asarray([0.1, 0.05, 0.2], jnp.float32)
+    fd = prepare_frame(model, betas, pose, trans)
+
+    # rays from a camera toward random posed vertices
+    cam = jnp.asarray([0.0, 0.3, -2.5])
+    tgt_idx = rng.randint(0, 512, n_rays)
+    targets = fd.smpl.verts_posed[tgt_idx]
+    dirs = targets - cam
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    near, far, hit = ray_aabb(fd.bounds_min, fd.bounds_max,
+                              jnp.broadcast_to(cam, dirs.shape), dirs)
+
+    latent = params['latent'][0]
+    inp = RenderInputs(
+        cam_loc=cam, ray_dirs=dirs, near=near, far=far,
+        frame=fd.frame, smpl=fd.smpl,
+        rots=fd.rots, Jtrs=fd.Jtrs, rots_full=fd.rots_full,
+        Jtrs_posed=fd.Jtrs_posed,
+        pose_cond_extra={'latent_code': latent[None]},
+        geo_latent=latent,
+        points_uniform=(jax.random.uniform(key, (64, 3)) - 0.5) * 2
+        if training else None,
+        points_skinning=jax.random.normal(key, (64, 3)) * 0.2
+        if training else None,
+        points_inside=jax.random.normal(key, (64, 3)) * 0.1
+        if training else None,
+    )
+    return params, fd, inp, hit
+
+
+class TestRenderEval:
+    def test_shapes_and_finiteness(self, rng):
+        cfg = small_config()
+        params, fd, inp, hit = make_inputs(cfg, rng)
+        out = jax.jit(
+            lambda p, i: render(p, cfg, i, jax.random.PRNGKey(1),
+                                training=False))(params, inp)
+        n = inp.ray_dirs.shape[0]
+        assert out['rgb_values'].shape == (n, 3)
+        assert out['weights_sum'].shape == (n,)
+        assert np.isfinite(np.asarray(out['rgb_values'])).all()
+        assert np.isfinite(np.asarray(out['weights_sum'])).all()
+        assert ((np.asarray(out['rgb_values']) >= 0)
+                & (np.asarray(out['rgb_values']) <= 1)).all()
+
+    def test_rays_hit_box(self, rng):
+        cfg = small_config()
+        _, _, inp, hit = make_inputs(cfg, rng)
+        assert np.asarray(hit).all()
+
+
+class TestRenderTrain:
+    @pytest.mark.parametrize('train_skinning', [False, True])
+    def test_gradients_flow(self, rng, train_skinning):
+        cfg = small_config(train_skinning=train_skinning)
+        params, fd, inp, _ = make_inputs(cfg, rng, training=True)
+
+        def loss_fn(p):
+            out = render(p, cfg, inp, jax.random.PRNGKey(2), training=True)
+            loss = jnp.sum(out['rgb_values']) + jnp.sum(out['weights_sum'])
+            loss += jnp.sum(jnp.abs(
+                jnp.linalg.norm(out['grad_theta'], axis=-1) - 1.0))
+            loss += jnp.sum(out['off_surface_sdf'] ** 2)
+            loss += jnp.sum(out['pred_weights'] ** 2)
+            return loss
+
+        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+        assert np.isfinite(float(loss))
+        flat = jax.tree_util.tree_leaves_with_path(grads)
+        norms = {jax.tree_util.keystr(k): float(jnp.linalg.norm(v))
+                 for k, v in flat}
+        assert all(np.isfinite(v) for v in norms.values()), norms
+        # color + deviation + hypernet always receive gradient
+        assert any(v > 0 for k, v in norms.items() if "'color'" in k)
+        assert any(v > 0 for k, v in norms.items() if "'deviation'" in k)
+        assert any(v > 0 for k, v in norms.items() if "'hypernet'" in k)
+        skin_norm = sum(v for k, v in norms.items() if "'skinning'" in k)
+        # skinning net always gets gradient from pred_weights reg; with
+        # train_skinning_net the implicit-diff path adds render gradients
+        assert skin_norm > 0
