@@ -1,0 +1,82 @@
+"""Optimizer with per-subnetwork parameter groups.
+
+Mirrors the reference optimizer wiring
+(`im2mesh/metaavatar_render/lightning_model.py:403-461`):
+
+  group                         lr
+  hypernet hyper-layers         cfg lr (e.g. 1e-6)
+  hypernet pose encoder         lr * pose_net_factor (e.g. 100x)
+  color network                 1e-4
+  deviation scalar              1e-4
+  skinning net                  skinning_lr (only if train_skinning_net)
+  camera / SMPL params          1e-4
+  latent codes                  1e-4 + weight decay 0.05
+
+Reference quirks reproduced deliberately:
+  * the FiLM mapping network is NOT in any optimizer group (the reference
+    excludes `sdf_decoder.net.mapping_network` from its param list), so it
+    stays frozen at the identity modulation;
+  * `hypo_params_init` is a frozen buffer.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import optax
+
+
+class OptimConfig(NamedTuple):
+    lr: float = 1e-6
+    pose_net_factor: float = 100.0
+    color_lr: float = 1e-4
+    deviation_lr: float = 1e-4
+    skinning_lr: float = 1e-4
+    train_skinning_net: bool = True
+    aux_lr: float = 1e-4            # cameras / SMPL params
+    latent_lr: float = 1e-4
+    latent_weight_decay: float = 0.05
+
+
+def _label_for_path(path, cfg: OptimConfig) -> str:
+    keys = [getattr(p, 'key', getattr(p, 'idx', None)) for p in path]
+    top = keys[0]
+    if top == 'hypernet':
+        sub = keys[1]
+        if sub == 'hyper_layers':
+            return 'sdf_hyper'
+        if sub == 'pose_encoder':
+            return 'sdf_pose_encoder'
+        return 'frozen'     # mapping network + hypo_init buffers
+    if top == 'color':
+        return 'color'
+    if top == 'deviation':
+        return 'deviation'
+    if top == 'skinning':
+        return 'skinning' if cfg.train_skinning_net else 'frozen'
+    if top == 'latent':
+        return 'latent'
+    if top in ('cam_rots', 'cam_trans', 'smpl_params', 'betas'):
+        return 'aux'
+    return 'frozen'
+
+
+def make_optimizer(cfg: OptimConfig, params) -> optax.GradientTransformation:
+    labels = jax.tree_util.tree_map_with_path(
+        lambda path, _: _label_for_path(path, cfg), params)
+    transforms = {
+        'sdf_hyper': optax.adam(cfg.lr),
+        'sdf_pose_encoder': optax.adam(cfg.lr * cfg.pose_net_factor),
+        'color': optax.adam(cfg.color_lr),
+        'deviation': optax.adam(cfg.deviation_lr),
+        'skinning': optax.adam(cfg.skinning_lr),
+        'aux': optax.adam(cfg.aux_lr),
+        'latent': optax.chain(
+            # torch Adam's weight_decay is coupled L2: wd*theta is added to
+            # the gradient before the Adam moments
+            optax.add_decayed_weights(cfg.latent_weight_decay),
+            optax.adam(cfg.latent_lr),
+        ),
+        'frozen': optax.set_to_zero(),
+    }
+    return optax.multi_transform(transforms, labels), labels

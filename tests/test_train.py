@@ -1,0 +1,99 @@
+"""Training-step tests: single-device and sharded over the virtual 8-CPU
+mesh (data-parallel ray blocks, gradient pmean)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from arah_tpu.data.batch import synthetic_train_batch
+from arah_tpu.data.synthetic import synthetic_smpl
+from arah_tpu.model import init_model_params, prepare_frame
+from arah_tpu.parallel.mesh import make_mesh, block_sharding, replicated
+from arah_tpu.parallel.train_step import TrainState, make_train_step
+from arah_tpu.train.loss import LossWeights
+from arah_tpu.train.optim import OptimConfig, make_optimizer
+
+from test_renderer import small_config
+
+
+def setup(train_skinning=True, n_blocks=2, n_rays=128):
+    cfg = small_config(train_skinning=train_skinning)
+    model = synthetic_smpl(n_verts=256)
+    rngk = jax.random.PRNGKey(0)
+    params = init_model_params(rngk, cfg, n_latent_frames=4)
+    rng = np.random.RandomState(1)
+    fd = prepare_frame(
+        model, jnp.asarray(rng.randn(10).astype(np.float32) * 0.3),
+        jnp.asarray((rng.randn(72) * 0.2).astype(np.float32)),
+        jnp.asarray([0.1, 0.0, 0.2], jnp.float32))
+    batch = synthetic_train_batch(jax.random.PRNGKey(2), fd,
+                                  n_blocks=n_blocks, n_rays=n_rays)
+    loss_w = LossWeights(n_ray_loss=n_rays)
+    ocfg = OptimConfig(lr=1e-4, train_skinning_net=train_skinning)
+    optimizer, labels = make_optimizer(ocfg, params)
+    opt_state = optimizer.init(params)
+    state = TrainState(params, opt_state, jnp.int32(0))
+    return cfg, loss_w, optimizer, state, batch, labels
+
+
+class TestSingleDevice:
+    def test_step_runs_and_updates(self):
+        cfg, loss_w, optimizer, state, batch, labels = setup()
+        step = make_train_step(cfg, loss_w, optimizer)
+        new_state, losses = step(state, batch, jax.random.PRNGKey(3))
+        assert np.isfinite(float(losses['loss']))
+        assert int(new_state.step) == 1
+        # color params must have moved; frozen mapping network must not
+        d_color = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))),
+            state.params['color']['layers'],
+            new_state.params['color']['layers'])
+        assert max(jax.tree.leaves(d_color)) > 0
+        d_map = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))),
+            state.params['hypernet']['mapping'],
+            new_state.params['hypernet']['mapping'])
+        assert max(jax.tree.leaves(d_map)) == 0
+        d_init = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))),
+            state.params['hypernet']['hypo_init'],
+            new_state.params['hypernet']['hypo_init'])
+        assert max(jax.tree.leaves(d_init)) == 0
+
+    def test_optimizer_labels(self):
+        cfg, loss_w, optimizer, state, batch, labels = setup()
+        assert labels['hypernet']['hyper_layers'][0]['last']['w'] \
+            == 'sdf_hyper'
+        assert labels['hypernet']['pose_encoder']['layer_0']['w'] \
+            == 'sdf_pose_encoder'
+        assert labels['hypernet']['mapping']['last']['w'] == 'frozen'
+        assert labels['deviation']['variance'] == 'deviation'
+        assert labels['latent'] == 'latent'
+
+
+class TestSharded:
+    def test_8dev_mesh_step(self):
+        n_dev = len(jax.devices())
+        assert n_dev == 8, f'expected 8 virtual cpu devices, got {n_dev}'
+        cfg, loss_w, optimizer, state, batch, _ = setup(
+            n_blocks=8, n_rays=64)
+        mesh = make_mesh()
+        step = make_train_step(cfg, loss_w, optimizer, mesh=mesh)
+
+        bs = block_sharding(mesh)
+        rep = replicated(mesh)
+        batch = batch._replace(
+            **{f: jax.device_put(getattr(batch, f), bs)
+               for f in ('cam_loc', 'ray_dirs', 'near', 'far', 'rgb_gt',
+                         'body_mask', 'points_uniform', 'points_skinning',
+                         'points_inside', 'sampled_weights', 'rots_noise',
+                         'view_noise', 'rot_noise', 'trans_noise')},
+            frame=jax.device_put(batch.frame, rep),
+            latent_idx=jax.device_put(batch.latent_idx, rep))
+        state = jax.device_put(state, rep)
+
+        new_state, losses = step(state, batch, jax.random.PRNGKey(3))
+        assert np.isfinite(float(losses['loss']))
+        # params identical on all devices (replicated update)
+        v = new_state.params['deviation']['variance']
+        assert np.isfinite(float(v))
