@@ -1,0 +1,91 @@
+"""Dataset + model factories from config dicts (the arah_tpu equivalent of
+`im2mesh/config.py:60-265`)."""
+from __future__ import annotations
+
+import numpy as np
+
+
+def get_dataset(mode: str, cfg: dict, view_split=None, subsampling_rate=None,
+                start_frame=None, end_frame=None):
+    d = cfg['data']
+    dataset_type = d['dataset']
+    splits = {'train': d['train_split'], 'val': d['val_split'],
+              'test': d['test_split']}[mode]
+    views = view_split if view_split is not None else {
+        'train': d.get('train_views') or (),
+        'val': d.get('val_views') or (),
+        'test': d.get('test_views') or ()}[mode]
+    rate = subsampling_rate if subsampling_rate is not None \
+        else d.get(f'{mode}_subsampling_rate', 1)
+    start = start_frame if start_frame is not None \
+        else d.get(f'{mode}_start_frame', 0)
+    end = end_frame if end_frame is not None \
+        else d.get(f'{mode}_end_frame', -1)
+
+    common = dict(
+        smpl_misc_dir=d.get('smpl_misc', 'body_models/misc'),
+        subjects=tuple(splits), mode=mode,
+        num_fg_samples=d.get('num_fg_samples', 1024),
+        num_bg_samples=d.get('num_bg_samples', 1024),
+        sampling_rate=rate, start_frame=start, end_frame=end,
+        views=tuple(views),
+        off_surface_thr=d.get('off_surface_thr', 0.2),
+        inside_thr=d.get('inside_thr', 0.001),
+        box_margin=d.get('box_margin', 0.05),
+        sample_reg_surface=d.get('sample_reg_surface', False),
+        sample_inside=cfg['training'].get('inside_weight', 0.0) > 0,
+        erode_mask=d.get('erode_mask', True),
+    )
+
+    if dataset_type == 'zju_mocap':
+        from arah_tpu.data.human_video import ZJUMoCapDataset
+        return ZJUMoCapDataset(d['path'], **common)
+    if dataset_type == 'h36m':
+        from arah_tpu.data.human_video import H36MDataset
+        return H36MDataset(d['path'], **common)
+    if dataset_type == 'people_snapshot':
+        from arah_tpu.data.human_video import PeopleSnapshotDataset
+        return PeopleSnapshotDataset(d['path'], **common)
+    if dataset_type == 'zju_mocap_odp':
+        from arah_tpu.data.odp import ODPDataset
+        common.pop('num_fg_samples'); common.pop('num_bg_samples')
+        common.pop('sample_reg_surface'); common.pop('sample_inside')
+        return ODPDataset(d['path'], pose_dir=d.get('pose_dir'), **common)
+    raise ValueError(f'unknown dataset {dataset_type}')
+
+
+def init_params_from_cfg(key, cfg: dict, model_cfg, dataset=None,
+                         mode: str = 'train'):
+    """Build params, including latent table sized to the training frames
+    and pretrained-checkpoint bootstrapping when configured
+    (`metaavatar_render/config.py:18-93`)."""
+    from arah_tpu.model import init_model_params
+    from arah_tpu.train import checkpoints as ckpt_lib
+
+    train_latent = cfg['model'].get('color_pose_encoder') in (
+        'hybrid', 'latent') or cfg['model'].get('geo_pose_encoder') in (
+        'latent',)
+    n_latent = 0
+    if train_latent and dataset is not None:
+        first_cam = dataset.data[0]['cam_idx']
+        n_latent = sum(1 for rec in dataset.data
+                       if rec['cam_idx'] == first_cam)
+    n_cameras = len(dataset.cam_names) if (
+        cfg['model'].get('train_cameras') and dataset is not None) else 0
+    params = init_model_params(key, model_cfg, n_latent_frames=n_latent,
+                               latent_dim=cfg['model'].get('latent_dim',
+                                                           128),
+                               n_cameras=n_cameras)
+
+    if mode == 'train':
+        geo_path = cfg['model'].get('geometry_net')
+        if geo_path:
+            sd = ckpt_lib.load_torch_checkpoint(geo_path)
+            params['hypernet']['hypo_init'] = \
+                ckpt_lib.load_metaavatar_hypo_init(sd, model_cfg.hypernet)
+        skin_path = cfg['model'].get('skinning_net2')
+        if skin_path:
+            sd = ckpt_lib.load_torch_checkpoint(skin_path)
+            params['skinning'] = ckpt_lib.load_snarf_skinning(
+                sd, model_cfg.skinning.n_layers)
+    return params

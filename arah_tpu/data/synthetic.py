@@ -48,25 +48,71 @@ _JOINTS = np.array([
 _BONE_RADIUS = 0.055
 
 
+def _capsule_mesh(a, b, radius, n_seg=6, n_rings=3):
+    """Capsule (cylinder + cone caps) mesh from a to b. Returns (V, F)."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    axis = b - a
+    length = np.linalg.norm(axis)
+    if length < 1e-8:
+        axis = np.array([0.0, 1e-6, 0.0])
+        length = 1e-6
+    z = axis / length
+    x = np.cross(z, [0.0, 0.0, 1.0])
+    if np.linalg.norm(x) < 1e-6:
+        x = np.cross(z, [0.0, 1.0, 0.0])
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+
+    verts = [a - z * radius * 0.5]            # bottom tip
+    rings = []
+    for r in range(n_rings):
+        t = (r + 0.5) / n_rings
+        center = a + axis * t
+        ring = []
+        for s in range(n_seg):
+            th = 2 * np.pi * s / n_seg
+            ring.append(center + radius * (np.cos(th) * x + np.sin(th) * y))
+            verts.append(ring[-1])
+        rings.append(list(range(1 + r * n_seg, 1 + (r + 1) * n_seg)))
+    top = len(verts)
+    verts.append(b + z * radius * 0.5)        # top tip
+
+    faces = []
+    for s in range(n_seg):
+        faces.append([0, rings[0][(s + 1) % n_seg], rings[0][s]])
+    for r in range(n_rings - 1):
+        for s in range(n_seg):
+            s2 = (s + 1) % n_seg
+            faces.append([rings[r][s], rings[r][s2], rings[r + 1][s]])
+            faces.append([rings[r][s2], rings[r + 1][s2], rings[r + 1][s]])
+    for s in range(n_seg):
+        faces.append([top, rings[-1][s], rings[-1][(s + 1) % n_seg]])
+    return np.asarray(verts), np.asarray(faces, np.int64)
+
+
 def synthetic_smpl(n_verts: int = 1536, n_betas: int = 10,
                    seed: int = 0) -> SmplModel:
-    """Generate a synthetic humanoid SmplModel."""
+    """Generate a synthetic humanoid SmplModel: one capsule mesh per bone
+    (proper small triangles, so rasterization and point-mesh queries behave
+    like they do on the real SMPL mesh)."""
     import jax.numpy as jnp
     rng = np.random.RandomState(seed)
 
-    # sample verts as noisy points along bones
     bones = [(j, int(SMPL_PARENTS[j])) for j in range(1, NUM_JOINTS)]
-    per_bone = n_verts // len(bones)
+    # ring resolution chosen so total vert count lands near n_verts
+    n_seg = 6
+    n_rings = max(2, int(round((n_verts / len(bones) - 2) / n_seg)))
     verts = []
+    faces = []
     for j, p in bones:
-        t = rng.rand(per_bone, 1)
-        seg = _JOINTS[p] + t * (_JOINTS[j] - _JOINTS[p])
-        seg = seg + rng.randn(per_bone, 3) * _BONE_RADIUS
-        verts.append(seg)
-    rem = n_verts - per_bone * len(bones)
-    if rem:
-        verts.append(_JOINTS[0] + rng.randn(rem, 3) * _BONE_RADIUS)
+        v, f = _capsule_mesh(_JOINTS[p], _JOINTS[j], _BONE_RADIUS,
+                             n_seg=n_seg, n_rings=n_rings)
+        faces.append(f + sum(len(vv) for vv in verts))
+        verts.append(v)
     verts = np.concatenate(verts, axis=0)
+    faces_arr = np.concatenate(faces, axis=0).astype(np.int32)
+    n_verts = len(verts)
 
     # skinning weights: softmax over negative point-segment distances
     def seg_dist(p, a, b):
@@ -91,15 +137,10 @@ def synthetic_smpl(n_verts: int = 1536, n_betas: int = 10,
         idx = np.argsort(dist)[:24]
         ww = 1.0 / (dist[idx] + 1e-3)
         Jr[j, idx] = ww / ww.sum()
-    # correct so J_regressor @ verts == joints exactly in the template
-    correction = _JOINTS - Jr @ verts
 
     shapedirs = rng.randn(n_verts, 3, n_betas) * 0.01
     posedirs = rng.randn(23 * 9, n_verts * 3) * 0.001
-
-    # faces: triangles over randomly chosen nearby verts (topology only
-    # needs to be valid for rasterization-style tests, not watertight)
-    f = rng.randint(0, n_verts, size=(2 * n_verts, 3)).astype(np.int32)
+    f = faces_arr
 
     model = SmplModel(
         v_template=jnp.asarray(verts, jnp.float32),

@@ -1,0 +1,153 @@
+"""Full-image evaluation / test-time rendering.
+
+Re-design of the reference's validation/test steps
+(`lightning_model.py:160-401`): render all box rays of a frame in
+fixed-size padded chunks (one compiled program serves every chunk),
+scatter back into the image via the box mask, derive a normal image
+either from finite-difference depth (validation,
+`lightning_model.py:184-205`) or by extracting + posing + rasterizing the
+canonical mesh (test, `models/__init__.py:203-311`), then compute
+PSNR/SSIM/LPIPS and write pngs / mp4.
+"""
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from arah_tpu.data.loader import frame_from_item
+from arah_tpu.render.renderer import ModelConfig, RenderInputs, render
+from arah_tpu.utils import metrics as metrics_lib
+
+
+def render_frame_rays(params, cfg: ModelConfig, fd, item, latent,
+                      chunk: int = 4096, key=None):
+    """Render every sampled ray of an eval item; returns (rgb (N, 3),
+    weights (N,), depth (N,), converged (N,))."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    rays = np.asarray(item['inputs.ray_dirs'])
+    bounds = np.asarray(item['inputs.body_bounds_intersections'])
+    n = rays.shape[0]
+
+    pose_cond_extra = {}
+    geo_latent = None
+    if latent is not None:
+        pose_cond_extra['latent_code'] = latent[None]
+        geo_latent = latent
+
+    @jax.jit
+    def run_chunk(ray_d, near, far):
+        inp = RenderInputs(
+            cam_loc=jnp.asarray(item['image.cam_loc']).reshape(3),
+            ray_dirs=ray_d, near=near, far=far,
+            frame=fd.frame, smpl=fd.smpl, rots=fd.rots, Jtrs=fd.Jtrs,
+            rots_full=fd.rots_full, Jtrs_posed=fd.Jtrs_posed,
+            pose_cond_extra=pose_cond_extra, geo_latent=geo_latent)
+        out = render(params, cfg, inp, key, training=False)
+        return (out['rgb_values'], out['weights_sum'],
+                out['surface_depth'], out['surface_converged'])
+
+    rgb = np.zeros((n, 3), np.float32)
+    weights = np.zeros((n,), np.float32)
+    depth = np.zeros((n,), np.float32)
+    conv = np.zeros((n,), bool)
+    for i in range(0, n, chunk):
+        j = min(i + chunk, n)
+        pad = chunk - (j - i)
+        rd = np.pad(rays[i:j], ((0, pad), (0, 0)), mode='edge')
+        nr = np.pad(bounds[i:j, 0], (0, pad), mode='edge')
+        fr = np.pad(bounds[i:j, 1], (0, pad), mode='edge')
+        r, w, d, c = run_chunk(jnp.asarray(rd), jnp.asarray(nr),
+                               jnp.asarray(fr))
+        rgb[i:j] = np.asarray(r)[:j - i]
+        weights[i:j] = np.asarray(w)[:j - i]
+        depth[i:j] = np.asarray(d)[:j - i]
+        conv[i:j] = np.asarray(c)[:j - i]
+    return rgb, weights, depth, conv
+
+
+def scatter_image(values, image_mask, fill=0.0):
+    """(N, C) ray values -> (H, W, C) image via the bool box mask."""
+    H, W = image_mask.shape
+    c = values.shape[-1] if values.ndim == 2 else 1
+    img = np.full((H, W, c), fill, np.float32)
+    img[image_mask] = values.reshape(-1, c)
+    return img.squeeze(-1) if c == 1 else img
+
+
+def normals_from_depth(points_cam, image_mask):
+    """Finite-difference normal image from camera-space surface points
+    (`lightning_model.py:184-205`)."""
+    H, W = image_mask.shape
+    pred_points = scatter_image(points_cam, image_mask)
+    zs, xs, ys = (pred_points[..., 2], pred_points[..., 0],
+                  pred_points[..., 1])
+    with np.errstate(divide='ignore', invalid='ignore'):
+        zy = (zs[1:, :] - zs[:-1, :]) / (ys[1:, :] - ys[:-1, :])
+        zx = (zs[:, 1:] - zs[:, :-1]) / (xs[:, 1:] - xs[:, :-1])
+    normals = np.zeros((H, W, 3), np.float32)
+    normals[:-1, :, 1] = -zy
+    normals[:, :-1, 0] = -zx
+    normals[:, :, 2] = 1.0
+    n = np.linalg.norm(normals, axis=-1, keepdims=True)
+    normals = normals / n
+    normals[~np.isfinite(normals)] = -1
+    return ((normals + 1) / 2).clip(0, 1)
+
+
+def evaluate_frame(params, cfg: ModelConfig, item, latent=None,
+                   chunk: int = 4096, lpips_fn=None):
+    """Validation-style metrics for one eval item. Returns dict with
+    psnr/ssim/lpips + rendered images."""
+    fd = frame_from_item(item)
+    rgb, weights, depth, conv = render_frame_rays(
+        params, cfg, fd, item, latent, chunk=chunk)
+    image_mask = np.asarray(item['inputs.image_mask'])
+    H = int(item['inputs.img_height'])
+    W = int(item['inputs.img_width'])
+    gt = np.asarray(item['inputs'])
+
+    pred_img = scatter_image(rgb, image_mask)
+    gt_img = scatter_image(gt, image_mask)
+
+    # camera-space surface points for the normal image
+    cam_loc = np.asarray(item['image.cam_loc']).reshape(3)
+    rays = np.asarray(item['inputs.ray_dirs'])
+    pts_world = cam_loc + depth[:, None] * rays
+    R = np.asarray(item['image.R'])
+    T = np.asarray(item['image.T']).reshape(3)
+    pts_cam = pts_world @ R.T + T
+    pts_cam[~conv] = 0
+    normal_img = normals_from_depth(pts_cam, image_mask)
+
+    out = {
+        'psnr': metrics_lib.psnr(rgb, gt),
+        'ssim': metrics_lib.ssim_metric(pred_img, gt_img, image_mask),
+        'lpips': metrics_lib.lpips_metric(pred_img, gt_img, image_mask,
+                                          lpips_fn),
+        'rgb_pred': pred_img, 'rgb_gt': gt_img, 'normal_pred': normal_img,
+    }
+    return out
+
+
+def save_image(path, img):
+    cv2.imwrite(path, cv2.cvtColor(
+        (np.clip(img, 0, 1) * 255).astype(np.uint8), cv2.COLOR_RGB2BGR))
+
+
+def write_video(path, frames, fps: int = 20):
+    """mp4 writer via cv2 (reference used imageio.mimwrite)."""
+    if not frames:
+        return
+    h, w = frames[0].shape[:2]
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*'mp4v'), fps,
+                         (w, h))
+    for f in frames:
+        vw.write(cv2.cvtColor((np.clip(f, 0, 1) * 255).astype(np.uint8),
+                              cv2.COLOR_RGB2BGR))
+    vw.release()

@@ -131,3 +131,27 @@ def marching_cubes(grid: np.ndarray, iso: float = 0.0, origin=None,
         lib.mc_copy(h, _fp(verts), _ip(faces))
     lib.mc_free(h)
     return verts, faces
+
+
+def rasterize_mesh(proj_xy, depth, faces, height, width):
+    """Z-buffer rasterize projected triangles.
+
+    Args: proj_xy (V, 2) pixel coords, depth (V,) camera-space z,
+    faces (F, 3). Returns (face_idx (H, W) int32 with -1 background,
+    bary (H, W, 3), zbuf (H, W))."""
+    lib = _load()
+    lib.rasterize_mesh.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float)]
+    p = np.ascontiguousarray(proj_xy, np.float32)
+    d = np.ascontiguousarray(depth, np.float32)
+    f = np.ascontiguousarray(faces, np.int32)
+    face_buf = np.zeros((height, width), np.int32)
+    bary_buf = np.zeros((height, width, 3), np.float32)
+    z_buf = np.zeros((height, width), np.float32)
+    lib.rasterize_mesh(_fp(p), _fp(d), len(p), _ip(f), len(f),
+                       height, width, _ip(face_buf), _fp(bary_buf),
+                       _fp(z_buf))
+    return face_buf, bary_buf, z_buf

@@ -414,4 +414,60 @@ void mc_copy(void* h, float* verts, int* faces) {
 }
 void mc_free(void* h) { delete reinterpret_cast<MCResult*>(h); }
 
+
+// ---------------------------------------------------------------------------
+// z-buffer triangle rasterizer (test-time normal-map visualization;
+// replaces pytorch3d MeshRasterizer used at
+// im2mesh/metaavatar_render/models/__init__.py:228-311)
+// ---------------------------------------------------------------------------
+
+// proj: V*2 pixel coords; depth: V (camera-space z); writes per-pixel
+// face index (-1 = background) and barycentric coords.
+void rasterize_mesh(const float* proj, const float* depth, int n_verts,
+                    const int* faces, int n_faces, int height, int width,
+                    int* face_buf, float* bary_buf, float* z_buf) {
+  for (int i = 0; i < height * width; ++i) {
+    face_buf[i] = -1;
+    z_buf[i] = 1e30f;
+    bary_buf[i * 3] = bary_buf[i * 3 + 1] = bary_buf[i * 3 + 2] = 0.f;
+  }
+  for (int f = 0; f < n_faces; ++f) {
+    int ia = faces[f * 3], ib = faces[f * 3 + 1], ic = faces[f * 3 + 2];
+    double ax = proj[ia * 2], ay = proj[ia * 2 + 1];
+    double bx = proj[ib * 2], by = proj[ib * 2 + 1];
+    double cx = proj[ic * 2], cy = proj[ic * 2 + 1];
+    double za = depth[ia], zb = depth[ib], zc = depth[ic];
+    if (za <= 0 && zb <= 0 && zc <= 0) continue;   // behind camera
+    int x0 = std::max(0, (int)std::floor(std::min(ax, std::min(bx, cx))));
+    int x1 = std::min(width - 1,
+                      (int)std::ceil(std::max(ax, std::max(bx, cx))));
+    int y0 = std::max(0, (int)std::floor(std::min(ay, std::min(by, cy))));
+    int y1 = std::min(height - 1,
+                      (int)std::ceil(std::max(ay, std::max(by, cy))));
+    if (x0 > x1 || y0 > y1) continue;
+    double denom = (by - cy) * (ax - cx) + (cx - bx) * (ay - cy);
+    if (std::fabs(denom) < 1e-12) continue;
+    double inv_den = 1.0 / denom;
+    for (int y = y0; y <= y1; ++y)
+      for (int x = x0; x <= x1; ++x) {
+        double px = x + 0.5, py = y + 0.5;
+        double w0 = ((by - cy) * (px - cx) + (cx - bx) * (py - cy)) * inv_den;
+        double w1 = ((cy - ay) * (px - cx) + (ax - cx) * (py - cy)) * inv_den;
+        double w2 = 1.0 - w0 - w1;
+        if (w0 < 0 || w1 < 0 || w2 < 0) continue;
+        // perspective-correct-ish depth: interpolate 1/z
+        double z = 1.0 / (w0 / za + w1 / zb + w2 / zc);
+        if (z <= 0) continue;
+        int idx = y * width + x;
+        if (z < z_buf[idx]) {
+          z_buf[idx] = (float)z;
+          face_buf[idx] = f;
+          bary_buf[idx * 3] = (float)w0;
+          bary_buf[idx * 3 + 1] = (float)w1;
+          bary_buf[idx * 3 + 2] = (float)w2;
+        }
+      }
+  }
+}
+
 }  // extern "C"

@@ -1,0 +1,46 @@
+"""Canonical-mesh extraction from the generated SDF.
+
+Re-design of reference `im2mesh/utils/sdf_meshing.py:13-114`
+(`create_mesh_vertices_and_faces`): evaluate the SDF on a dense normalized
+[-1,1]^3 grid on device (chunked so each chunk is one big MXU-friendly
+matmul batch), then run the native marching-tetrahedra extractor on host.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def eval_sdf_grid(sdf_fn, resolution: int = 256,
+                  chunk: int = 64 ** 3) -> np.ndarray:
+    """Evaluate sdf_fn over the regular grid, (N, N, N) float32 on host."""
+    n = resolution
+    lin = np.linspace(-1.0, 1.0, n, dtype=np.float32)
+    # voxel-origin convention of the reference (`sdf_meshing.py:25-41`):
+    # index -> coord via uniform spacing over [-1, 1]
+    grid = np.stack(np.meshgrid(lin, lin, lin, indexing='ij'),
+                    axis=-1).reshape(-1, 3)
+
+    eval_chunk = jax.jit(lambda pts: sdf_fn(pts))
+    out = np.empty((grid.shape[0],), np.float32)
+    for i in range(0, grid.shape[0], chunk):
+        pts = jnp.asarray(grid[i:i + chunk])
+        # pad to the fixed chunk size so one compiled program serves all
+        pad = chunk - pts.shape[0]
+        if pad:
+            pts = jnp.pad(pts, ((0, pad), (0, 0)))
+        vals = np.asarray(eval_chunk(pts))
+        out[i:i + chunk] = vals[:grid.shape[0] - i] if pad else vals
+    return out.reshape(n, n, n)
+
+
+def extract_mesh(sdf_fn, resolution: int = 256, level: float = 0.0):
+    """Marching-tets mesh of the SDF zero set in normalized coords.
+    Returns (verts (V, 3) float32 in [-1,1]^3, faces (F, 3) int32)."""
+    from arah_tpu import native
+    grid = eval_sdf_grid(sdf_fn, resolution)
+    spacing = 2.0 / (resolution - 1)
+    verts, faces = native.marching_cubes(
+        grid, level, origin=[-1.0, -1.0, -1.0], spacing=[spacing] * 3)
+    return verts, faces

@@ -1,0 +1,114 @@
+"""End-to-end data pipeline test: fake on-disk ZJU-layout dataset ->
+HumanVideoDataset -> TrainBatch -> one training step."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from arah_tpu.data.fake_dataset import make_fake_zju_dataset
+from arah_tpu.data.human_video import ZJUMoCapDataset
+from arah_tpu.data.loader import (FrameBatchSampler, Prefetcher,
+                                  collate_train_batch, frame_from_item)
+
+from test_renderer import small_config
+
+
+@pytest.fixture(scope='module')
+def fake_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp('fake_zju'))
+    misc_dir, model = make_fake_zju_dataset(root, n_frames=2,
+                                            views=('1', '7'), n_verts=512)
+    return root, misc_dir, model
+
+
+def make_dataset(fake_root, mode='train'):
+    root, misc_dir, _ = fake_root
+    return ZJUMoCapDataset(
+        root, smpl_misc_dir=misc_dir, subjects=('CoreView_313',),
+        mode=mode, img_size=(256, 256), num_fg_samples=128,
+        num_bg_samples=128, sample_reg_surface=True, sample_inside=True,
+        erode_mask=False, seed=0)
+
+
+class TestDataset:
+    def test_item_fields(self, fake_root):
+        ds = make_dataset(fake_root)
+        assert len(ds) == 4   # 2 frames x 2 views
+        item = ds[0]
+        assert item['inputs'].shape == (256, 3)
+        assert item['inputs.ray_dirs'].shape == (256, 3)
+        nf = item['inputs.body_bounds_intersections']
+        assert nf.shape == (256, 2)
+        assert (nf[:, 0] < nf[:, 1]).all()
+        assert item['image.points_uniform'].shape == (1024, 3)
+        assert item['image.sampled_weights'].shape == (1024, 24)
+        assert item['image.points_inside'].shape == (1024, 3)
+        np.testing.assert_allclose(item['image.sampled_weights'].sum(-1),
+                                   1.0, atol=1e-4)
+        # ray dirs are unit vectors
+        np.testing.assert_allclose(
+            np.linalg.norm(item['inputs.ray_dirs'], axis=-1), 1.0,
+            atol=1e-5)
+
+    def test_fg_rays_hit_silhouette(self, fake_root):
+        """Foreground rays should march toward the body: the ray through a
+        fg pixel must intersect the posed-vertex AABB."""
+        ds = make_dataset(fake_root)
+        item = ds[0]
+        n_fg = 128
+        fg_mask = item['inputs.mask'][:n_fg]
+        assert fg_mask.mean() > 0.9
+
+    def test_eval_mode(self, fake_root):
+        ds = make_dataset(fake_root, mode='val')
+        item = ds[0]
+        n = item['inputs'].shape[0]
+        assert item['inputs.image_mask'].sum() == n
+        assert n > 100
+
+    def test_frame_sampler(self, fake_root):
+        ds = make_dataset(fake_root)
+        sampler = FrameBatchSampler(ds, shuffle=False)
+        groups = list(sampler)
+        assert len(groups) == 2
+        assert all(len(g) == 2 for g in groups)
+        for g in groups:
+            frames = {ds.data[i]['frame_idx'] for i in g}
+            assert len(frames) == 1
+
+
+class TestTrainFromDataset:
+    def test_collate_and_step(self, fake_root):
+        ds = make_dataset(fake_root)
+        sampler = FrameBatchSampler(ds, shuffle=False)
+        idxs = next(iter(sampler))
+        items = [ds[i] for i in idxs]
+        batch = collate_train_batch(items)
+        assert batch.ray_dirs.shape == (2, 256, 3)
+        assert batch.rgb_gt.shape == (2, 256, 3)
+
+        from arah_tpu.model import init_model_params
+        from arah_tpu.parallel.train_step import (TrainState,
+                                                  make_train_step)
+        from arah_tpu.train.loss import LossWeights
+        from arah_tpu.train.optim import OptimConfig, make_optimizer
+
+        cfg = small_config(train_skinning=True)
+        params = init_model_params(jax.random.PRNGKey(0), cfg,
+                                   n_latent_frames=2)
+        loss_w = LossWeights(n_ray_loss=256, inside=10.0, skinning=10.0)
+        opt, _ = make_optimizer(OptimConfig(), params)
+        state = TrainState(params, opt.init(params), jnp.int32(0))
+        step = make_train_step(cfg, loss_w, opt)
+        new_state, losses = step(state, batch, jax.random.PRNGKey(1))
+        for k, v in losses.items():
+            assert np.isfinite(float(v)), (k, float(v))
+        assert int(new_state.step) == 1
+
+    def test_prefetcher(self, fake_root):
+        ds = make_dataset(fake_root)
+        sampler = FrameBatchSampler(ds, shuffle=False)
+        pf = Prefetcher(ds, sampler, collate_train_batch, n_workers=2)
+        batches = list(iter(pf))
+        assert len(batches) == 2
+        assert batches[0].ray_dirs.shape == (2, 256, 3)

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Novel-view / novel-pose validation of a trained arah_tpu checkpoint.
+
+Usage: python validate.py configs/arah-zju/ZJUMOCAP-313.yaml
+           [--novel-view | --novel-pose] [--chunk N]
+
+Mirrors the reference `validate.py:24-106`: novel-view evaluates held-out
+cameras on training frames (subsampling rate 30); novel-pose evaluates
+held-out frames. Writes metrics.json + per-frame pngs to out_dir/val.
+"""
+import argparse
+import json
+import os
+
+import jax
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('config')
+    p.add_argument('--novel-view', action='store_true')
+    p.add_argument('--novel-pose', action='store_true')
+    p.add_argument('--chunk', type=int, default=4096)
+    p.add_argument('--max-frames', type=int, default=-1)
+    args = p.parse_args()
+
+    from arah_tpu.config import load_config, model_config_from_cfg
+    from arah_tpu.config.factory import get_dataset, init_params_from_cfg
+    from arah_tpu.eval.evaluator import evaluate_frame, save_image
+    from arah_tpu.train import checkpoints as ckpt_lib
+    from arah_tpu.parallel.train_step import TrainState
+
+    cfg = load_config(args.config, 'configs/default.yaml')
+    model_cfg = model_config_from_cfg(cfg)
+
+    if args.novel_view:
+        dataset = get_dataset('val', cfg, subsampling_rate=30,
+                              start_frame=cfg['data']['train_start_frame'],
+                              end_frame=cfg['data']['train_end_frame'])
+    else:
+        dataset = get_dataset('test' if args.novel_pose else 'val', cfg)
+
+    train_ds = get_dataset('train', cfg)
+    params = init_params_from_cfg(jax.random.PRNGKey(0), cfg, model_cfg,
+                                  train_ds, mode='val')
+    ckpt_dir = os.path.join(cfg['training']['out_dir'], 'checkpoints')
+    from arah_tpu.train.optim import (OptimConfig, make_optimizer)
+    opt, _ = make_optimizer(OptimConfig(), params)
+    import jax.numpy as jnp
+    state = TrainState(params, opt.init(params), jnp.int32(0))
+    restored, step = ckpt_lib.restore_checkpoint(ckpt_dir, state)
+    if restored is not None:
+        params = restored.params
+        print(f'loaded checkpoint step {step}')
+    else:
+        print('WARNING: no checkpoint found; evaluating random init')
+
+    out_dir = os.path.join(cfg['training']['out_dir'], 'val')
+    os.makedirs(out_dir, exist_ok=True)
+
+    all_metrics = []
+    n = len(dataset) if args.max_frames < 0 \
+        else min(args.max_frames, len(dataset))
+    for i in range(n):
+        item = dataset[i]
+        latent = None
+        if 'latent' in params:
+            d_idx = int(item['inputs.data_idx'])
+            if item.get('inputs.novel_seq') \
+                    or d_idx >= params['latent'].shape[0]:
+                d_idx = params['latent'].shape[0] - 1
+            latent = params['latent'][d_idx]
+        m = evaluate_frame(params, model_cfg, item, latent,
+                           chunk=args.chunk)
+        all_metrics.append({k: float(m[k])
+                            for k in ('psnr', 'ssim', 'lpips')})
+        save_image(os.path.join(out_dir, f'rgb_{i:06d}.png'), m['rgb_pred'])
+        save_image(os.path.join(out_dir, f'normal_{i:06d}.png'),
+                   m['normal_pred'])
+        save_image(os.path.join(out_dir, f'gt_{i:06d}.png'), m['rgb_gt'])
+        print(f'[{i+1}/{n}] ' + ' '.join(
+            f'{k}={v:.4f}' for k, v in all_metrics[-1].items()), flush=True)
+
+    summary = {k: float(np.mean([m[k] for m in all_metrics]))
+               for k in ('psnr', 'ssim', 'lpips')}
+    with open(os.path.join(out_dir, 'metrics.json'), 'w') as f:
+        json.dump({'per_frame': all_metrics, 'mean': summary}, f, indent=2)
+    print('mean:', summary)
+
+
+if __name__ == '__main__':
+    main()
