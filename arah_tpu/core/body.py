@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from arah_tpu.core.linalg import inv_affine
 import numpy as np
 
 
@@ -28,7 +29,7 @@ def skinning(x: jax.Array, w: jax.Array, tfs: jax.Array,
       (skinned (..., N, 3), per-point transforms (..., N, 4, 4)).
     """
     w_tf = jnp.einsum('...pn,...nij->...pij', w, tfs)
-    tf = jnp.linalg.inv(w_tf) if inverse else w_tf
+    tf = inv_affine(w_tf) if inverse else w_tf
     x_out = jnp.einsum('...pij,...pj->...pi', tf[..., :3, :3], x) \
         + tf[..., :3, 3]
     return x_out, w_tf

@@ -12,6 +12,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from arah_tpu.core.linalg import inv_affine
 import numpy as np
 
 from arah_tpu.core.body import (get_02v_bone_transforms_jnp,
@@ -116,7 +117,7 @@ def prepare_frame(model: SmplModel, betas: jax.Array, pose: jax.Array,
     Jtr_norm = normalize_canonical_points(Jtr[0], coord_min, coord_max,
                                           center)
 
-    bone_transforms = A[0] @ jnp.linalg.inv(tf_02v)   # Vitruvian -> posed
+    bone_transforms = A[0] @ inv_affine(tf_02v)   # Vitruvian -> posed
 
     rots_full = rot_mats.reshape(1, NUM_JOINTS, 9)
     rots_local = jnp.concatenate(

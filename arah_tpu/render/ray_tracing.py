@@ -14,6 +14,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+from arah_tpu.core.linalg import inv_affine
 
 from arah_tpu.core.body import (normalize_canonical_points,
                                 sdf_to_metric, unnormalize_canonical_points)
@@ -58,7 +59,7 @@ def _nn_backward_map(points_world: jax.Array, smpl: SmplRef,
     idx = nn_idx(points_world, smpl.verts_posed)
     w = smpl.skinning_weights[idx]                       # (N, 24)
     T_fwd = jnp.einsum('nj,jab->nab', w, frame.bone_transforms)
-    T_bwd = jnp.linalg.inv(T_fwd)
+    T_bwd = inv_affine(T_fwd)
     x = points_world - frame.trans
     x_hat = jnp.einsum('nab,nb->na', T_bwd[:, :3, :3], x) + T_bwd[:, :3, 3]
     x_norm = normalize_canonical_points(
@@ -196,7 +197,7 @@ def canonicalize_samples(cfg: RayTracerConfig, sdf_fn: Callable,
     idx = nn_idx(pts_world, smpl.verts_posed)
     w = smpl.skinning_weights[idx]
     T0 = jnp.einsum('nj,jab->nab', w, frame.bone_transforms)
-    T0_inv = jnp.linalg.inv(T0)
+    T0_inv = inv_affine(T0)
     x_bar = pts_world - frame.trans
     x0 = jnp.einsum('nab,nb->na', T0_inv[:, :3, :3], x_bar) + T0_inv[:, :3, 3]
 

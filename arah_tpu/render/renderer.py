@@ -23,6 +23,7 @@ from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+from arah_tpu.core.linalg import inv3x3, inv_affine
 
 from arah_tpu.core.body import (normalize_canonical_points, sdf_to_metric,
                                 unnormalize_canonical_points)
@@ -115,7 +116,7 @@ def shade_samples(params, cfg: ModelConfig, gen: GeneratedMLP,
         view_dirs_orig[:, None, :], (n_rays, S, 3)).reshape(-1, 3)
 
     if cfg.cano_view_dirs:
-        T_bwd = jax.lax.stop_gradient(jnp.linalg.inv(flat_T))
+        T_bwd = jax.lax.stop_gradient(inv_affine(flat_T))
         in_vd = jnp.einsum('nab,nb->na', T_bwd[:, :3, :3], -vd)
         in_vd_orig = jnp.einsum('nab,nb->na', T_bwd[:, :3, :3], -vd_orig)
     else:
@@ -134,7 +135,7 @@ def shade_samples(params, cfg: ModelConfig, gen: GeneratedMLP,
 
         J = jax.lax.stop_gradient(
             jax.vmap(jax.jacfwd(fwd_from_norm))(flat_p))
-        J_inv = jnp.linalg.inv(J)
+        J_inv = inv3x3(J)
         f = jax.vmap(fwd_from_norm)(flat_p)
         flat_p = flat_p - jnp.einsum(
             'nab,nb->na', J_inv, f - jax.lax.stop_gradient(f))

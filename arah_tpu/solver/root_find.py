@@ -24,6 +24,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+from arah_tpu.core.linalg import inv3x3, inv4x4
 
 from arah_tpu.core.body import (normalize_canonical_points, sdf_to_metric,
                                 skinning)
@@ -96,7 +97,7 @@ def search_canonical_corr(skin_fn: Callable, frame: CanonicalFrame,
         x_hat_0, frame.coord_min, frame.coord_max, frame.center)
     w0 = skin_fn(x0_norm)
     J0 = init_transforms_from_weights(w0, frame.bone_transforms)[:, :3, :3]
-    J_inv_0 = jnp.linalg.inv(J0)
+    J_inv_0 = inv3x3(J0)
 
     res = broyden(g, x_hat_0, T_fwd_0, J_inv_0, max_steps=max_steps,
                   cvg_thresh=cvg_thresh, active_init=active_init)
@@ -146,7 +147,7 @@ def search_iso_surface_depth(sdf_fn: Callable, skin_fn: Callable,
         [grad_sdf[:, None, :], jnp.zeros_like(z_0)[:, None, None]], axis=-1)
     bottom = jnp.concatenate([J_lbs, -cam_rays[..., None]], axis=-1)
     J_init = jnp.concatenate([top, bottom], axis=-2)            # (N, 4, 4)
-    J_inv_0 = jnp.linalg.inv(J_init)
+    J_inv_0 = inv4x4(J_init)
 
     u0 = jnp.concatenate([x_hat_0, z_0[:, None]], axis=-1)
     res = broyden(g, u0, T_fwd_0, J_inv_0, max_steps=max_steps,
