@@ -88,4 +88,64 @@ def init_params_from_cfg(key, cfg: dict, model_cfg, dataset=None,
             sd = ckpt_lib.load_torch_checkpoint(skin_path)
             params['skinning'] = ckpt_lib.load_snarf_skinning(
                 sd, model_cfg.skinning.n_layers)
+
+    if cfg['model'].get('train_smpl') and dataset is not None \
+            and mode in ('train', 'val'):
+        params.update(smpl_refine_params_from_dataset(dataset))
+    if cfg['model'].get('train_cameras') and dataset is not None \
+            and mode in ('train', 'val'):
+        params['cam_rots'], params['cam_trans'] = \
+            camera_params_from_dataset(dataset)
     return params
+
+
+def smpl_refine_params_from_dataset(dataset):
+    """Initial learnable per-frame SMPL params from the dataset's stored
+    estimates (reference `metaavatar_render/config.py:179-227`, including
+    the +1e-8 fixup of all-zero axis-angles)."""
+    import jax.numpy as jnp
+    first_cam = dataset.data[0]['cam_idx']
+    root_orient, pose_body, pose_hand, trans = [], [], [], []
+    betas = None
+    for rec in dataset.data:
+        if rec['cam_idx'] != first_cam:
+            break
+        md = np.load(rec['model_file'])
+        root = md['root_orient'].astype(np.float32)
+        if (root == 0.0).all():
+            root = root + 1e-8
+        root_orient.append(root.reshape(3))
+        body = md['pose_body'].astype(np.float32).reshape(-1, 3)
+        body[(body == 0.0).all(axis=-1)] += 1e-8
+        pose_body.append(body.reshape(-1))
+        hand = md['pose_hand'].astype(np.float32).reshape(-1, 3)
+        hand[(hand == 0.0).all(axis=-1)] += 1e-8
+        pose_hand.append(hand.reshape(-1))
+        trans.append(md['trans'].astype(np.float32).reshape(3))
+        if betas is None:
+            betas = md['betas'].astype(np.float32).reshape(-1) \
+                if 'betas' in md else np.zeros(10, np.float32)
+    return {
+        'smpl_params': {
+            'root_orient': jnp.asarray(np.stack(root_orient)),
+            'pose_body': jnp.asarray(np.stack(pose_body)),
+            'pose_hand': jnp.asarray(np.stack(pose_hand)),
+            'trans': jnp.asarray(np.stack(trans)),
+        },
+        'betas': jnp.asarray(betas),
+    }
+
+
+def camera_params_from_dataset(dataset):
+    """Initial learnable camera extrinsics (xyzw quaternion + translation)
+    from the dataset cameras (reference
+    `metaavatar_render/config.py:168-177`)."""
+    import jax.numpy as jnp
+    from scipy.spatial.transform import Rotation
+    rots, trans = [], []
+    for name in dataset.cam_names:
+        cam = dataset.cameras[name]
+        rots.append(Rotation.from_matrix(
+            np.asarray(cam['R'])).as_quat().astype(np.float32))
+        trans.append(np.asarray(cam['T'], np.float32).ravel())
+    return jnp.asarray(np.stack(rots)), jnp.asarray(np.stack(trans))

@@ -190,3 +190,19 @@ def load_smpl_assets(misc_dir: str, gender: str = 'neutral') -> SmplModel:
         parents=jnp.asarray(parents),
         faces=jnp.asarray(faces.astype(np.int32)),
     )
+
+
+def quat_to_rot(q: jax.Array) -> jax.Array:
+    """Unit-normalized quaternion (..., 4) in xyzw order -> (..., 3, 3)
+    rotation matrices (kornia XYZW convention, used by the camera
+    refinement path, reference `lightning_model.py:477`)."""
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    x, y, z, w = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - z * w),
+                   2 * (x * z + y * w)], -1),
+        jnp.stack([2 * (x * y + z * w), 1 - 2 * (x * x + z * z),
+                   2 * (y * z - x * w)], -1),
+        jnp.stack([2 * (x * z - y * w), 2 * (y * z + x * w),
+                   1 - 2 * (x * x + y * y)], -1),
+    ], axis=-2)

@@ -81,4 +81,5 @@ def synthetic_train_batch(key, fd: FrameData, n_blocks: int = 2,
         rgb_gt=rgb_gt, body_mask=body_mask,
         points_uniform=pu, points_skinning=psk, points_inside=pin,
         sampled_weights=sw, **identity_noise(n_blocks),
+        uv=dirs, cam_idx=jnp.arange(n_blocks, dtype=jnp.int32),
         frame=fd, latent_idx=jnp.int32(latent_idx))

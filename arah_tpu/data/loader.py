@@ -80,6 +80,9 @@ def collate_train_batch(items: Sequence[dict],
         sampled_weights=stack('image.sampled_weights'),
         rots_noise=n['rots_noise'], view_noise=n['view_noise'],
         rot_noise=n['rot_noise'], trans_noise=n['trans_noise'],
+        uv=stack('inputs.uv'),
+        cam_idx=jnp.asarray(np.array(
+            [int(it['inputs.cam_idx']) for it in items], np.int32)),
         frame=fd,
         latent_idx=jnp.int32(items[0]['inputs.data_idx']))
 

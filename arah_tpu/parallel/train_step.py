@@ -46,9 +46,13 @@ class TrainBatch(NamedTuple):
     view_noise: Any       # (B, 3, 3) view rotation augment (I = off)
     rot_noise: Any        # (B, 1, 9) color-net root-rot noise (0 = off)
     trans_noise: Any      # (B, 1, 3) color-net root-trans noise (0 = off)
+    uv: Any               # (B, R, 3) K^-1-lifted pixels (camera refinement)
+    cam_idx: Any          # (B,) int32 camera index (camera refinement)
     # replicated frame-level state
     frame: FrameData
-    latent_idx: Any       # () int32 index into params['latent']
+    latent_idx: Any       # () int32 frame index (latent + SMPL refinement)
+
+N_PER_BLOCK_FIELDS = 16   # leading fields sharded over the mesh axis
 
 
 class TrainState(NamedTuple):
@@ -57,17 +61,51 @@ class TrainState(NamedTuple):
     step: Any
 
 
+def _refined_frame(params, smpl_model, frame_idx,
+                   box_margin: float = 0.05) -> FrameData:
+    """Recompute the frame from the *learnable* per-frame SMPL params —
+    gradients flow into pose/shape exactly as in the reference's
+    train-SMPL branch (`lightning_model.py:501-545`,
+    `models/__init__.py:88-125,317-339`)."""
+    from arah_tpu.model import prepare_frame
+    sp = params['smpl_params']
+    pose = jnp.concatenate([sp['root_orient'][frame_idx],
+                            sp['pose_body'][frame_idx],
+                            sp['pose_hand'][frame_idx]], axis=-1)
+    return prepare_frame(smpl_model, params['betas'], pose,
+                         sp['trans'][frame_idx], box_margin=box_margin)
+
+
+def _refined_rays(params, batch: TrainBatch, b):
+    """Recompute rays/cam from learnable extrinsics (quaternion + trans),
+    mirroring `compose_inputs`'s train-cameras branch
+    (`lightning_model.py:473-481`)."""
+    from arah_tpu.core.smpl import quat_to_rot
+    R = quat_to_rot(params['cam_rots'][batch.cam_idx[b]])
+    t = params['cam_trans'][batch.cam_idx[b]]
+    cam_loc = -R.T @ t
+    rays = batch.uv[b] @ R
+    rays = rays / (jnp.linalg.norm(rays, axis=-1, keepdims=True) + 1e-12)
+    return cam_loc, rays
+
+
 def _block_loss(params, cfg: ModelConfig, loss_w: LossWeights,
-                batch: TrainBatch, latent, b, key):
+                batch: TrainBatch, latent, b, key,
+                smpl_model=None, refine_smpl=False, refine_cameras=False):
     """Render + loss for one ray block (index b into batch arrays)."""
     fd: FrameData = batch.frame
+    if refine_smpl and smpl_model is not None:
+        fd = _refined_frame(params, smpl_model, batch.latent_idx)
+    cam_loc, ray_dirs = batch.cam_loc[b], batch.ray_dirs[b]
+    if refine_cameras:
+        cam_loc, ray_dirs = _refined_rays(params, batch, b)
     pose_cond_extra = {}
     if latent is not None:
         pose_cond_extra['latent_code'] = latent[None]
         pose_cond_extra['rot_noise'] = batch.rot_noise[b]
         pose_cond_extra['trans_noise'] = batch.trans_noise[b]
     inp = RenderInputs(
-        cam_loc=batch.cam_loc[b], ray_dirs=batch.ray_dirs[b],
+        cam_loc=cam_loc, ray_dirs=ray_dirs,
         near=batch.near[b], far=batch.far[b],
         frame=fd.frame, smpl=fd.smpl,
         rots=fd.rots, Jtrs=fd.Jtrs, rots_full=fd.rots_full,
@@ -87,11 +125,16 @@ def _block_loss(params, cfg: ModelConfig, loss_w: LossWeights,
 
 
 def make_train_step(cfg: ModelConfig, loss_w: LossWeights, optimizer,
-                    mesh: Mesh | None = None, axis: str = 'data'):
+                    mesh: Mesh | None = None, axis: str = 'data',
+                    smpl_model=None, refine_smpl: bool = False,
+                    refine_cameras: bool = False):
     """Build the jitted (optionally sharded) train step.
 
     Returns step(state, batch, key) -> (state, metrics). With a mesh, batch
     blocks must be sharded over `axis` and divisible by its size.
+    refine_smpl/refine_cameras enable the differentiable per-frame SMPL /
+    camera-extrinsic paths (params['smpl_params']/'betas'/'cam_rots'/
+    'cam_trans' must exist).
     """
 
     def loss_fn(params, batch: TrainBatch, key, n_local_blocks):
@@ -100,7 +143,9 @@ def make_train_step(cfg: ModelConfig, loss_w: LossWeights, optimizer,
             latent = params['latent'][batch.latent_idx]
         keys = jax.random.split(key, n_local_blocks)
         losses = [
-            _block_loss(params, cfg, loss_w, batch, latent, b, keys[b])
+            _block_loss(params, cfg, loss_w, batch, latent, b, keys[b],
+                        smpl_model=smpl_model, refine_smpl=refine_smpl,
+                        refine_cameras=refine_cameras)
             for b in range(n_local_blocks)
         ]
         losses = jax.tree.map(lambda *xs: jnp.mean(jnp.stack(xs)), *losses)
@@ -131,7 +176,8 @@ def make_train_step(cfg: ModelConfig, loss_w: LossWeights, optimizer,
 
     # pytree-prefix specs: per-block leaves sharded on `axis`, frame state
     # and latent index replicated
-    block_spec = TrainBatch(*([P(axis)] * 14), frame=P(), latent_idx=P())
+    block_spec = TrainBatch(*([P(axis)] * N_PER_BLOCK_FIELDS),
+                            frame=P(), latent_idx=P())
 
     def sharded(params, opt_state, step, batch, key):
         n_local = batch.ray_dirs.shape[0]

@@ -54,7 +54,9 @@ def train(cfg: dict, model_cfg, loss_w, optim_cfg, dataset, params,
           pose_input_noise: bool = False, view_input_noise: bool = False,
           nv_noise_type: str = 'rotation', seed: int = 0,
           checkpoint_every_n_epochs: int | None = None,
-          on_epoch_end: Callable | None = None):
+          on_epoch_end: Callable | None = None,
+          smpl_model=None, refine_smpl: bool = False,
+          refine_cameras: bool = False):
     """Run training; returns the final TrainState.
 
     Resumes from `out_dir/checkpoints` when present (the reference's
@@ -80,7 +82,10 @@ def train(cfg: dict, model_cfg, loss_w, optim_cfg, dataset, params,
                 start_epoch = json.load(f).get('epoch', 0)
         print(f'resumed from step {step} (epoch {start_epoch})', flush=True)
 
-    step_fn = make_train_step(model_cfg, loss_w, optimizer, mesh=mesh)
+    step_fn = make_train_step(model_cfg, loss_w, optimizer, mesh=mesh,
+                              smpl_model=smpl_model,
+                              refine_smpl=refine_smpl,
+                              refine_cameras=refine_cameras)
     sampler = FrameBatchSampler(dataset, shuffle=True, seed=seed)
     key = jax.random.PRNGKey(seed)
     if max_epochs is None:

@@ -20,6 +20,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from arah_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from __graft_entry__ import _flagship_config, _build_scene
     from arah_tpu.data.batch import synthetic_train_batch
     from arah_tpu.model import init_model_params

@@ -87,7 +87,8 @@ class TestSharded:
                for f in ('cam_loc', 'ray_dirs', 'near', 'far', 'rgb_gt',
                          'body_mask', 'points_uniform', 'points_skinning',
                          'points_inside', 'sampled_weights', 'rots_noise',
-                         'view_noise', 'rot_noise', 'trans_noise')},
+                         'view_noise', 'rot_noise', 'trans_noise',
+                         'uv', 'cam_idx')},
             frame=jax.device_put(batch.frame, rep),
             latent_idx=jax.device_put(batch.latent_idx, rep))
         state = jax.device_put(state, rep)

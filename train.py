@@ -57,13 +57,21 @@ def main():
                 cur = json.load(f).get('epoch', 0)
         max_epochs = min(max_epochs, cur + args.epochs_per_run)
 
+    smpl_model = None
+    refine_smpl = bool(cfg['model'].get('train_smpl'))
+    if refine_smpl:
+        from arah_tpu.core.smpl import load_smpl_assets
+        smpl_model = load_smpl_assets(
+            cfg['data'].get('smpl_misc', 'body_models/misc'))
+
     train(cfg, model_cfg, loss_w, optim_cfg, dataset, params, mesh=mesh,
           max_epochs=max_epochs, exit_after=args.exit_after,
           profile_dir=args.profile_dir,
           pose_input_noise=cfg['training'].get('pose_input_noise', False),
           view_input_noise=cfg['training'].get('view_input_noise', False),
           nv_noise_type=cfg['training'].get('nv_noise_type', 'rotation'),
-          seed=args.seed)
+          seed=args.seed, smpl_model=smpl_model, refine_smpl=refine_smpl,
+          refine_cameras=bool(cfg['model'].get('train_cameras')))
 
 
 if __name__ == '__main__':
