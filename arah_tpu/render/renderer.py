@@ -68,7 +68,13 @@ def generate_sdf(params, cfg: ModelConfig, rots, Jtrs, geo_latent=None):
 
     rots: (1, 24, 9); Jtrs: (1, 24, 3). Mirrors
     `models/__init__.py:176-179` + `siren_modules.py:280-316`.
+
+    If the model uses the plain (non-hypernet) `single_bvp` decoder
+    variant, its trainable SIREN weights are returned directly.
     """
+    if 'sdf_plain' in params:
+        from arah_tpu.nn.siren import plain_siren_as_generated
+        return plain_siren_as_generated(params['sdf_plain'])
     cond = hypernet_cond(params['hypernet'], cfg.hypernet, rots, Jtrs)[0]
     latent = None
     if cfg.hypernet.use_film and geo_latent is not None:
