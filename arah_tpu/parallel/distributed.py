@@ -1,0 +1,51 @@
+"""Multi-host initialization and cross-host eval gathering.
+
+The reference's multi-GPU story is single-host DDP (`train.py:124-133`);
+arah_tpu scales across hosts with `jax.distributed` + one global mesh:
+ICI within a slice, DCN across hosts, both behind the same XLA
+collectives. Rank-0-trimmed metric gathering mirrors the reference's
+`all_gather` eval path (`lightning_model.py:250-283`).
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+
+def initialize(coordinator: str | None = None, num_processes: int | None
+               = None, process_id: int | None = None):
+    """Initialize jax.distributed (no-op on single process).
+
+    On TPU pods with standard env vars, jax.distributed.initialize()
+    auto-detects everything; args are for manual CPU/GPU testing.
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes, process_id=process_id)
+    elif coordinator is None and _auto_multiprocess():
+        jax.distributed.initialize()
+
+
+def _auto_multiprocess() -> bool:
+    import os
+    return any(k in os.environ for k in
+               ('COORDINATOR_ADDRESS', 'MEGASCALE_COORDINATOR_ADDRESS'))
+
+
+def global_mesh(axis: str = 'data'):
+    """One 1-D mesh over every chip of every host."""
+    from jax.sharding import Mesh
+    return Mesh(np.asarray(jax.devices()), (axis,))
+
+
+def gather_metrics(local_metrics: dict, mesh, axis: str = 'data'):
+    """Mean-reduce scalar metrics across the mesh (eval aggregation)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def reduce_fn(tree):
+        return jax.tree.map(lambda x: jnp.mean(x), tree)
+
+    return jax.jit(reduce_fn,
+                   out_shardings=NamedSharding(mesh, P()))(local_metrics)

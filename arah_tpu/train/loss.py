@@ -92,12 +92,14 @@ def compute_loss(outputs: dict, ground_truth: dict, w: LossWeights,
     else:
         losses['eikonal_loss'] = jnp.float32(0.0)
 
-    # Mask loss (`loss.py:94-102`): |weights_sum - fg| over rays with >= 1
-    # valid sample.
+    # Mask loss (`loss.py:94-102`). Note the reference's
+    # `torch.norm(x - gt, dim=-1).sum()` acts on a 1-D masked selection,
+    # i.e. it is the L2 norm of the WHOLE residual vector, and `gt` is the
+    # raw mask value (boundary label 100 included) cast to float.
     off_mask = outputs['network_body_mask'][:n_loss]
-    diff = jnp.abs(outputs['weights_sum'][:n_loss]
-                   - (body_mask != 0).astype(jnp.float32))
-    losses['mask_loss'] = jnp.sum(diff * off_mask) / denom
+    diff = (outputs['weights_sum'][:n_loss]
+            - body_mask.astype(jnp.float32)) * off_mask
+    losses['mask_loss'] = safe_norm(diff) / denom
 
     # Off-surface (`loss.py:104-106`)
     if 'off_surface_sdf' in outputs:
