@@ -1,0 +1,59 @@
+"""Fused-kernel dispatch for the renderer's hot functions.
+
+On TPU, the no-gradient tracer paths (sphere tracing, Broyden residuals)
+evaluate the generated SIREN and the KNN through Pallas kernels that keep
+weights + activations in VMEM; the kernels carry a `custom_jvp` that
+falls back to the plain XLA implementation, so the few places that take
+input derivatives of these functions (solver init Jacobians) still work.
+Set ARAH_DISABLE_PALLAS=1 to force pure-XLA everywhere.
+"""
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from arah_tpu.nn.siren import GeneratedMLP, siren_apply
+
+
+def pallas_enabled() -> bool:
+    if os.environ.get('ARAH_DISABLE_PALLAS') == '1':
+        return False
+    return jax.devices()[0].platform == 'tpu'
+
+
+def make_fused_sdf_fn(gen: GeneratedMLP, tile: int = 1024):
+    """Normalized points (N, 3) -> (N,) SDF via the fused Pallas kernel,
+    differentiable via an XLA-backed jvp."""
+    from arah_tpu.ops.pallas.siren_kernel import siren_sdf_pallas
+
+    @jax.custom_jvp
+    def sdf(x):
+        n = x.shape[0]
+        pad = (-n) % tile
+        xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+        out = siren_sdf_pallas(gen, xp, tile=tile)
+        return out[:n, 0]
+
+    @sdf.defjvp
+    def sdf_jvp(primals, tangents):
+        (x,), (dx,) = primals, tangents
+        f = lambda p: siren_apply(gen, p)[..., 0]
+        return jax.jvp(f, (x,), (dx,))
+
+    return sdf
+
+
+def fused_nn_idx(points, verts, tile: int = 2048):
+    """Pallas KNN with padding; falls back to XLA off-TPU."""
+    from arah_tpu.ops.knn import nn_idx
+    if not pallas_enabled():
+        return nn_idx(points, verts)
+    from arah_tpu.ops.pallas.knn_kernel import nn_idx_pallas
+    n = points.shape[0]
+    pad = (-n) % tile
+    p = jnp.pad(points, ((0, pad), (0, 0))) if pad else points
+    idx = nn_idx_pallas(p, verts, tile=tile)
+    return idx[:n]

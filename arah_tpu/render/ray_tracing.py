@@ -19,7 +19,7 @@ from arah_tpu.core.linalg import inv_affine
 from arah_tpu.core.body import (normalize_canonical_points,
                                 sdf_to_metric, unnormalize_canonical_points)
 from arah_tpu.core.rays import stratified_z_vals
-from arah_tpu.ops.knn import nn_idx
+from arah_tpu.ops.fused import fused_nn_idx as nn_idx
 from arah_tpu.solver.root_find import (CanonicalFrame, search_canonical_corr,
                                        search_iso_surface_depth)
 

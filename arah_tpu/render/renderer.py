@@ -58,8 +58,16 @@ def make_skin_fn(params, cfg: ModelConfig, stop_grad: bool = False):
 
 
 def make_sdf_fn(gen: GeneratedMLP, stop_grad: bool = False):
-    """Normalized canonical points (N, 3) -> (N,) normalized SDF."""
+    """Normalized canonical points (N, 3) -> (N,) normalized SDF.
+
+    The stop-gradient variant (tracer hot loops) dispatches to the fused
+    Pallas kernel on TPU (input-derivatives fall back to XLA via
+    custom_jvp, see ops/fused.py)."""
     g = jax.lax.stop_gradient(gen) if stop_grad else gen
+    if stop_grad:
+        from arah_tpu.ops.fused import make_fused_sdf_fn, pallas_enabled
+        if pallas_enabled():
+            return make_fused_sdf_fn(g)
     return lambda x: siren_apply(g, x)[..., 0]
 
 
