@@ -154,13 +154,16 @@ def shade_samples(params, cfg: ModelConfig, gen: GeneratedMLP,
         flat_p = flat_p - jnp.einsum(
             'nab,nb->na', J_inv, f - jax.lax.stop_gradient(f))
 
-    # SDF, features and autograd normals in one differentiable pass.
+    # SDF, features and spatial normals in one differentiable pass.
+    # Forward-mode for the 3-d input gradient: same values as reverse mode,
+    # but the parameter-backward becomes reverse-over-forward, which the
+    # TPU compiler handles far better than reverse-over-reverse.
     def sdf_feat(p):
         out, feat = siren_apply(gen, p[None], return_features=True)
-        return out[0, 0], feat[0]
+        return out[0, 0], (out[0, 0], feat[0])
 
-    (sdf_norm, feats), grads = jax.vmap(
-        jax.value_and_grad(sdf_feat, has_aux=True))(flat_p)
+    grads, (sdf_norm, feats) = jax.vmap(
+        jax.jacfwd(sdf_feat, has_aux=True))(flat_p)
     normal = grads
     if not cfg.cano_view_dirs:
         normal = jnp.einsum('nab,nb->na', flat_T[:, :3, :3], normal)
@@ -260,7 +263,8 @@ def render(params, cfg: ModelConfig, inp: RenderInputs, key,
         sdf_fn = make_sdf_fn(gen)
         # eikonal points: uniform in [-1,1]^3
         eik = (jax.random.uniform(k_eik, (cfg.n_eik_points, 3)) - 0.5) * 2.0
-        grad_eik = jax.vmap(jax.grad(lambda p: sdf_fn(p[None])[0]))(eik)
+        # forward-mode spatial gradient (see shade_samples note)
+        grad_eik = jax.vmap(jax.jacfwd(lambda p: sdf_fn(p[None])[0]))(eik)
         out['grad_theta'] = grad_eik
         if inp.points_uniform is not None:
             out['off_surface_sdf'] = sdf_fn(inp.points_uniform)

@@ -142,7 +142,7 @@ def search_iso_surface_depth(sdf_fn: Callable, skin_fn: Callable,
 
     # Init Jacobian rows: [grad_sdf, 0] ; [J_lbs, -ray].
     J_lbs = forward_skinning_jac(skin_fn, frame, x_hat_0)       # (N, 3, 3)
-    grad_sdf = jax.vmap(jax.grad(lambda p: sdf_metric(p[None])[0]))(x_hat_0)
+    grad_sdf = jax.vmap(jax.jacfwd(lambda p: sdf_metric(p[None])[0]))(x_hat_0)
     top = jnp.concatenate(
         [grad_sdf[:, None, :], jnp.zeros_like(z_0)[:, None, None]], axis=-1)
     bottom = jnp.concatenate([J_lbs, -cam_rays[..., None]], axis=-1)
