@@ -21,7 +21,11 @@ from arah_tpu.nn.siren import GeneratedMLP
 
 
 def _siren_kernel(n_hidden: int, use_film: bool, x_ref, *refs):
-    """refs layout: [W0, b0, ..., WL, bL, (freqs, phases)], out_ref last."""
+    """refs layout: [W0^T, b0, ..., WL^T, bL, (freqs, phases)], out last.
+
+    Weights arrive pre-transposed to (in, out) so every contraction is a
+    plain (tile, in) x (in, out) MXU matmul — an in-kernel `.T` lowers to
+    a Mosaic multi_reduction that the TPU compiler rejects."""
     n_layers = n_hidden + 2
     w_refs = refs[:2 * n_layers:2]
     b_refs = refs[1:2 * n_layers:2]
@@ -33,12 +37,12 @@ def _siren_kernel(n_hidden: int, use_film: bool, x_ref, *refs):
 
     h = x_ref[:]
     for i in range(n_layers - 1):
-        h = jnp.dot(h, w_refs[i][:].T, preferred_element_type=jnp.float32)
+        h = jnp.dot(h, w_refs[i][:], preferred_element_type=jnp.float32)
         h = h + b_refs[i][:]
         if use_film:
             h = freqs_ref[i] * h + phases_ref[i]
         h = jnp.sin(30.0 * h)
-    out = jnp.dot(h, w_refs[-1][:].T, preferred_element_type=jnp.float32)
+    out = jnp.dot(h, w_refs[-1][:], preferred_element_type=jnp.float32)
     out_ref[:] = out + b_refs[-1][:]
 
 
@@ -64,9 +68,10 @@ def siren_sdf_pallas(gen: GeneratedMLP, x: jax.Array, tile: int = 1024,
     in_specs = [pl.BlockSpec((tile, d_in), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)]
     for w, b in zip(gen.weights, gen.biases):
-        operands += [w, b]
+        wt = w.T    # (in, out) — transposed outside the kernel
+        operands += [wt, b]
         in_specs += [
-            pl.BlockSpec(w.shape, lambda i: (0, 0),
+            pl.BlockSpec(wt.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(b.shape, lambda i: (0,),
                          memory_space=pltpu.VMEM)]
