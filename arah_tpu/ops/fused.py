@@ -19,7 +19,10 @@ from arah_tpu.nn.siren import GeneratedMLP, siren_apply
 
 
 def pallas_enabled() -> bool:
-    if os.environ.get('ARAH_DISABLE_PALLAS') == '1':
+    """Opt-in (ARAH_ENABLE_PALLAS=1): the XLA path is the benched default;
+    the fused kernels are kept for explicit A/B runs while the axon
+    remote-compile latency of Mosaic kernels is being characterized."""
+    if os.environ.get('ARAH_ENABLE_PALLAS') != '1':
         return False
     return jax.devices()[0].platform == 'tpu'
 
