@@ -94,7 +94,8 @@ def model_config_from_cfg(cfg: dict, low_vram: bool = False):
     rk = dict(m.get('renderer_kwargs') or {})
     pose_encoder = m.get('color_pose_encoder')
     color = ColorConfig(
-        d_feature=feature_width(pose_encoder, m.get('latent_dim', 128)),
+        d_feature=feature_width(pose_encoder, m.get('latent_dim', 128),
+                                hypernet.hidden_features),
         mode=rk.get('mode', 'idr'),
         d_in=rk.get('d_in', 9), d_out=rk.get('d_out', 3),
         d_hidden=rk.get('d_hidden', 256), n_layers=rk.get('n_layers', 5),

@@ -126,9 +126,11 @@ def color_apply(params, cfg: ColorConfig, points: jax.Array,
     return jax.nn.sigmoid(x) if cfg.squeeze_out else x
 
 
-def feature_width(pose_encoder: str | None, latent_dim: int = 128) -> int:
-    """SDF-feature + pose-feature width (`metaavatar_render/config.py:106-123`)."""
-    base = 256
-    return base + {None: 0, 'leap': 144, 'root': 12,
-                   'latent': latent_dim, 'hybrid': 12 + latent_dim
-                   }[pose_encoder]
+def feature_width(pose_encoder: str | None, latent_dim: int = 128,
+                  sdf_feature_dim: int = 256) -> int:
+    """SDF-feature + pose-feature width (`metaavatar_render/config.py:106-123`).
+    sdf_feature_dim is the SDF net's hidden width (256 in all reference
+    configs)."""
+    return sdf_feature_dim + {None: 0, 'leap': 144, 'root': 12,
+                              'latent': latent_dim,
+                              'hybrid': 12 + latent_dim}[pose_encoder]
