@@ -48,6 +48,20 @@ def add_reference_path():
                 parent, child = stub.rsplit('.', 1)
                 setattr(sys.modules.get(parent, mod), child, mod)
             sys.modules[stub] = mod
+    # functional KNN shim so the reference ray tracer runs on CPU
+    ops = sys.modules['pytorch3d.ops']
+    if not hasattr(ops, 'knn_points'):
+        import collections
+        import torch as _torch
+        KNN = collections.namedtuple('KNN', ['dists', 'idx'])
+
+        def knn_points(p, v, K=1, **kwargs):
+            d = _torch.cdist(p, v)
+            dists, idx = _torch.topk(d, K, dim=-1, largest=False)
+            return KNN(dists=dists ** 2, idx=idx)
+
+        ops.knn_points = knn_points
+        sys.modules['pytorch3d'].ops = ops
     # Install namespace-package stubs so reference submodules import without
     # executing heavyweight package __init__ files (torchmeta pulls in
     # torchvision datasets; im2mesh pulls in cv2-bound data code).

@@ -1,0 +1,359 @@
+"""North-star parity: the FULL eval renderer vs the actual reference
+implementation (torch, run on CPU with a brute-force knn_points shim).
+
+Both sides get identical weights (random-init torch modules converted to
+pytrees), an identical synthetic body/frame and identical rays; eval mode
+is deterministic (no stratified jitter), so rendered pixels must agree up
+to solver/accumulation tolerance.
+
+Also checks gradient parity of the differentiable shading stage (fixed
+sampled points -> rgb) w.r.t. the color-network weights.
+"""
+import numpy as np
+import pytest
+
+from conftest import add_reference_path, load_ref_siren_modules
+
+add_reference_path()
+
+import torch  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from arah_tpu.core.body import get_02v_bone_transforms  # noqa: E402
+from arah_tpu.core.rays import ray_aabb  # noqa: E402
+from arah_tpu.core.smpl import lbs  # noqa: E402
+from arah_tpu.data.synthetic import synthetic_smpl  # noqa: E402
+from arah_tpu.nn.color import ColorConfig  # noqa: E402
+from arah_tpu.nn.hypernet import HypernetConfig  # noqa: E402
+from arah_tpu.nn.skinning import SkinningConfig  # noqa: E402
+from arah_tpu.render.ray_tracing import (RayTracerConfig,  # noqa: E402
+                                         CanonicalFrame, SmplRef)
+from arah_tpu.render.renderer import (ModelConfig, RenderInputs,  # noqa
+                                      render)
+from arah_tpu.train.checkpoints import (convert_hypernet,  # noqa: E402
+                                        convert_pose_encoder,
+                                        convert_wn_mlp)
+
+
+HID = 64          # small-but-real network sizes keep the test < 1 min
+NHL = 2           # SIREN hidden layers
+
+
+def build_reference_modules():
+    """Random-init torch reference networks (seeded)."""
+    import importlib
+    siren, _ = load_ref_siren_modules()
+    decoder_mod = importlib.import_module('im2mesh.metaavatar.models.decoder')
+    rdecoder_mod = importlib.import_module(
+        'im2mesh.metaavatar_render.models.decoder')
+    skinning_model_mod = importlib.import_module(
+        'im2mesh.metaavatar_render.models.skinning_model')
+    rt_mod = importlib.import_module(
+        'im2mesh.metaavatar_render.renderer.ray_tracing')
+    idhr_mod = importlib.import_module(
+        'im2mesh.metaavatar_render.renderer.'
+        'implicit_differentiable_renderer')
+
+    torch.manual_seed(0)
+    sdf_decoder = siren.HyperBVPNet(
+        out_features=1, type='sine', in_features=3, hyper_in_ch=144,
+        hidden_features=HID, num_hidden_layers=NHL, hierarchical_pose=True,
+        use_FiLM=True)
+    # Without a pretrained MetaAvatar ckpt the reference's generated SDF is
+    # identically zero (zero hypo_params_init + zero-init hyper heads) and
+    # its solvers hit singular Jacobians; seed the frozen base weights with
+    # a proper sine init, exactly as arah_tpu's init_hypernet does.
+    with torch.no_grad():
+        dims = [(3, HID)] + [(HID, HID)] * NHL + [(HID, 1)]
+        for i, (d_in, d_out) in enumerate(dims):
+            layer = sdf_decoder.net.layers[i]
+            hl = getattr(layer, 'hyper_linear', layer)
+            bound = (1.0 / d_in) if i == 0 \
+                else (np.sqrt(6.0 / d_in) / 30.0)
+            w = (torch.rand(d_out, d_in) * 2 - 1) * bound
+            b = (torch.rand(d_out) * 2 - 1) / np.sqrt(d_in)
+            if i == len(dims) - 1:
+                # give the SDF real zero crossings inside the box: larger
+                # output amplitude, no constant offset
+                w = w * 25.0
+                b = b * 0.0
+            hl.hypo_params_init.copy_(
+                torch.cat([w.reshape(-1), b]).reshape(1, -1))
+    deformer = decoder_mod.Deformer(
+        d_in=3, d_out=25, d_hidden=64, n_layers=2, skip_in=[], cond_in=[],
+        multires=0, bias=1.0, geometric_init=False, weight_norm=True)
+    skinning_model = skinning_model_mod.SkinningModel(
+        skinning_decoder_fwd=deformer)
+    color = rdecoder_mod.RenderingNetwork(
+        d_feature=HID + 128, mode='idr', d_in=9, d_out=3, d_hidden=64,
+        n_layers=2, weight_norm=True, multires=0, multires_view=4,
+        skips=[], squeeze_out=True, pose_encoder='latent')
+    deviation = rdecoder_mod.SingleVarianceNetwork(1e-3)
+    ray_tracer = rt_mod.BodyRayTracing(
+        root_finding_threshold=1e-5, sphere_tracing_iters=8, n_steps=16,
+        near_surface_vol_samples=4, far_surface_vol_samples=4,
+        sample_bg_pts=0, low_vram=False)
+    idhr = idhr_mod.IDHRNetwork(
+        deviation, color, skinning_model, ray_tracer, cano_view_dirs=False,
+        train_skinning_net=False, render_last_pt=False, low_vram=False)
+    idhr.eval()
+    return sdf_decoder, skinning_model, color, deviation, idhr
+
+
+def convert_params(sdf_decoder, skinning_model, color, deviation):
+    def sd(m):
+        return {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    cfg = model_config()
+    params = {
+        'hypernet': convert_hypernet(sd(sdf_decoder), cfg.hypernet,
+                                     prefix=''),
+        'skinning': {'layers': convert_wn_mlp(
+            sd(skinning_model.skinning_decoder_fwd), '', 3)},
+        'color': {'layers': convert_wn_mlp(sd(color), '', 3)},
+        'deviation': {'variance': jnp.asarray(
+            float(deviation.variance.detach()))},
+    }
+    return params
+
+
+def model_config():
+    return ModelConfig(
+        hypernet=HypernetConfig(hidden_features=HID, num_hidden_layers=NHL,
+                                hyper_in_ch=144, use_film=True),
+        skinning=SkinningConfig(d_hidden=64, n_layers=2),
+        color=ColorConfig(d_feature=HID + 128, d_hidden=64, n_layers=2,
+                          skips=(), multires_view=4, pose_encoder='latent'),
+        tracer=RayTracerConfig(sphere_tracing_iters=8, n_steps=16,
+                               near_surface_vol_samples=4,
+                               far_surface_vol_samples=4, corr_max_steps=50),
+        cano_view_dirs=False, train_skinning_net=False)
+
+
+def build_scene():
+    rng = np.random.RandomState(3)
+    model = synthetic_smpl(n_verts=460)
+    betas = (rng.randn(10) * 0.2).astype(np.float32)
+    pose = (rng.randn(72) * 0.15).astype(np.float32)
+    trans = np.array([0.05, 0.0, 0.1], np.float32)
+
+    out = lbs(model, jnp.asarray(betas)[None], jnp.asarray(pose)[None])
+    minimal_shape = np.asarray(out.v_posed[0])       # pose-blend-shaped
+    Jtr = np.asarray(out.joints_rest[0])
+    bone_A = np.asarray(out.rel_transforms[0])
+    verts_world = np.asarray(out.verts[0]) + trans
+    Jtr_posed = np.asarray(out.joints_posed[0]) + trans
+
+    sw = np.asarray(model.lbs_weights)
+    tf02v = get_02v_bone_transforms(Jtr)
+    T02 = (sw @ tf02v.reshape(-1, 16)).reshape(-1, 4, 4)
+    msv = np.einsum('vij,vj->vi', T02[:, :3, :3], minimal_shape) \
+        + T02[:, :3, 3]
+    center = msv.mean(0).astype(np.float32)
+    cmax = np.float32((msv - center).max())
+    cmin = np.float32((msv - center).min())
+    padding = (cmax - cmin) * 0.05
+    Jtr_norm = ((Jtr - center - cmin + padding) / (cmax - cmin) / 1.1
+                - 0.5) * 2.0
+    bone_transforms = (bone_A @ np.linalg.inv(tf02v)).astype(np.float32)
+
+    rots_full = np.asarray(
+        jax.vmap(lambda a: a)(  # reuse framework rodrigues
+            __import__('arah_tpu.core.smpl', fromlist=['batch_rodrigues']
+                       ).batch_rodrigues(
+                jnp.asarray(pose.reshape(-1, 3))))).reshape(24, 9)
+    rots_local = np.concatenate(
+        [np.eye(3, dtype=np.float32).reshape(1, 9), rots_full[1:]], axis=0)
+
+    # rays toward body verts
+    n_rays = 24
+    cam = np.array([0.0, 0.2, -2.6], np.float32)
+    tgt = rng.randint(0, len(verts_world), n_rays)
+    dirs = verts_world[tgt] - cam
+    dirs = (dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+            ).astype(np.float32)
+    bmin = verts_world.min(0) - 0.05
+    bmax = verts_world.max(0) + 0.05
+    near, far, hit = ray_aabb(jnp.asarray(bmin), jnp.asarray(bmax),
+                              jnp.broadcast_to(jnp.asarray(cam),
+                                               dirs.shape),
+                              jnp.asarray(dirs))
+    assert np.asarray(hit).all()
+    latent = rng.randn(1, 128).astype(np.float32)
+    return dict(model=model, trans=trans, cam=cam, dirs=dirs,
+                near=np.asarray(near), far=np.asarray(far),
+                verts_world=verts_world, sw=sw, msv=msv,
+                bone_transforms=bone_transforms, center=center,
+                cmin=cmin, cmax=cmax, Jtr_norm=Jtr_norm,
+                rots_local=rots_local, rots_full=rots_full,
+                Jtr_posed=Jtr_posed, latent=latent)
+
+
+@pytest.fixture(scope='module')
+def scene():
+    return build_scene()
+
+
+class TestFullEvalPixelParity:
+    def test_rendered_pixels_match_reference(self, scene):
+        sdf_decoder, skinning_model, color, deviation, idhr = \
+            build_reference_modules()
+        params = convert_params(sdf_decoder, skinning_model, color,
+                                deviation)
+        cfg = model_config()
+        s = scene
+        n = len(s['dirs'])
+
+        # ---- reference forward (torch, eval) ----
+        tt = lambda x: torch.tensor(np.asarray(x), dtype=torch.float32)
+        with torch.no_grad():
+            dec_out = sdf_decoder({
+                'coords': torch.zeros(1, 1, 3),
+                'rots': tt(s['rots_local'])[None],
+                'Jtrs': tt(s['Jtr_norm'])[None],
+                'latent': tt(s['latent'])})
+            sdf_network = dec_out['decoder']
+            inputs = {
+                'ray_dirs': tt(s['dirs'])[None],
+                'cam_loc': tt(s['cam'])[None],
+                'pose': torch.eye(4)[None],
+                'body_mask': torch.ones(1, n),
+                'body_bounds_intersections': tt(np.stack(
+                    [s['near'], s['far']], -1))[None],
+                'loc': torch.zeros(1, 1, 3),
+                'sc_factor': torch.ones(1, 1, 1),
+                'smpl_verts': tt(s['verts_world'])[None],
+                'skinning_weights': tt(s['sw'])[None],
+                'vol_feat': torch.empty(1, 0),
+                'bone_transforms': tt(s['bone_transforms'])[None],
+                'trans': tt(s['trans'])[None, None],
+                'coord_min': torch.tensor([float(s['cmin'])]),
+                'coord_max': torch.tensor([float(s['cmax'])]),
+                'center': tt(s['center'])[None, None],
+                'minimal_shape': tt(s['msv'])[None],
+                'sdf_network': sdf_network,
+                'pose_cond': {'rots_full': tt(s['rots_full'])[None],
+                              'Jtrs_posed': tt(s['Jtr_posed'])[None],
+                              'latent_code': tt(s['latent'])},
+            }
+            ref_out = idhr(inputs)
+        ref_rgb = ref_out['rgb_values'].numpy()[0]
+
+        # ---- arah_tpu forward (eval) ----
+        frame = CanonicalFrame(
+            bone_transforms=jnp.asarray(s['bone_transforms']),
+            trans=jnp.asarray(s['trans']),
+            coord_min=jnp.asarray(s['cmin']),
+            coord_max=jnp.asarray(s['cmax']),
+            center=jnp.asarray(s['center']))
+        smpl_ref = SmplRef(verts_posed=jnp.asarray(s['verts_world']),
+                           skinning_weights=jnp.asarray(s['sw']))
+        inp = RenderInputs(
+            cam_loc=jnp.asarray(s['cam']),
+            ray_dirs=jnp.asarray(s['dirs']),
+            near=jnp.asarray(s['near']), far=jnp.asarray(s['far']),
+            frame=frame, smpl=smpl_ref,
+            rots=jnp.asarray(s['rots_local'])[None],
+            Jtrs=jnp.asarray(s['Jtr_norm'])[None],
+            rots_full=jnp.asarray(s['rots_full'])[None],
+            Jtrs_posed=jnp.asarray(s['Jtr_posed'])[None],
+            pose_cond_extra={'latent_code': jnp.asarray(s['latent'])},
+            geo_latent=jnp.asarray(s['latent'][0]))
+        ours = render(params, cfg, inp, jax.random.PRNGKey(0),
+                      training=False)
+        our_rgb = np.asarray(ours['rgb_values'])
+
+        # rays where both pipelines found volume samples must agree
+        both = np.asarray(ours['network_body_mask']) \
+            & (np.abs(ref_rgb).sum(-1) > 0)
+        assert both.sum() >= n // 2, f'only {both.sum()}/{n} rays usable'
+        diff = np.abs(our_rgb[both] - ref_rgb[both])
+        assert diff.max() < 5e-3, \
+            f'max pixel diff {diff.max():.2e} on {both.sum()} rays'
+
+
+class TestShadingGradientParity:
+    def test_color_weight_gradients_match(self, scene):
+        """Fixed sampled points -> rgb: gradients w.r.t. a color-net weight
+        must match between torch and jax."""
+        sdf_decoder, skinning_model, color, deviation, idhr = \
+            build_reference_modules()
+        params = convert_params(sdf_decoder, skinning_model, color,
+                                deviation)
+        cfg = model_config()
+        s = scene
+        rng = np.random.RandomState(7)
+        n_pts, S = 6, 16
+
+        pts = (rng.rand(n_pts, S, 3).astype(np.float32) - 0.5) * 1.2
+        z_vals = np.sort(
+            rng.rand(n_pts, S).astype(np.float32) * 2 + 1.5, axis=-1)
+        T_fwd = np.broadcast_to(np.eye(4, dtype=np.float32),
+                                (n_pts, S, 4, 4)).copy()
+        mask = rng.rand(n_pts, S) > 0.25
+        mask[:, 0] = True
+        dirs = s['dirs'][:n_pts]
+
+        # --- torch side ---
+        tt = lambda x: torch.tensor(np.asarray(x), dtype=torch.float32)
+        dec_out = sdf_decoder({
+            'coords': torch.zeros(1, 1, 3),
+            'rots': tt(s['rots_local'])[None],
+            'Jtrs': tt(s['Jtr_norm'])[None],
+            'latent': tt(s['latent'])})
+        sdf_network = dec_out['decoder']
+        idhr.train()   # differentiable path
+        pose_cond = {'rots_full': tt(s['rots_full'])[None],
+                     'Jtrs_posed': tt(s['Jtr_posed'])[None],
+                     'latent_code': tt(s['latent'])}
+        rgb_t, ws_t = idhr.get_rbg_value_vol_sdf(
+            sdf_network, tt(pts), tt(z_vals), tt(T_fwd),
+            torch.tensor(mask), tt(dirs), tt(dirs), pose_cond,
+            torch.zeros(1, 1, 3), torch.ones(1, 1, 1),
+            torch.empty(1, 0), tt(s['bone_transforms'])[None],
+            torch.tensor(float(s['cmin'])),
+            torch.tensor(float(s['cmax'])), tt(s['center'])[None, None])
+        loss_t = rgb_t.sum() + ws_t.sum()
+        loss_t.backward()
+        lin0 = color.lin0
+        grad_ref = lin0.weight_v.grad.detach().numpy()
+
+        # --- jax side ---
+        from arah_tpu.render.renderer import (generate_sdf, shade_samples)
+        from arah_tpu.nn.color import color_pose_feature
+        frame = CanonicalFrame(
+            bone_transforms=jnp.asarray(s['bone_transforms']),
+            trans=jnp.asarray(s['trans']),
+            coord_min=jnp.asarray(s['cmin']),
+            coord_max=jnp.asarray(s['cmax']),
+            center=jnp.asarray(s['center']))
+
+        def loss_fn(params):
+            gen = generate_sdf(params, cfg,
+                               jnp.asarray(s['rots_local'])[None],
+                               jnp.asarray(s['Jtr_norm'])[None],
+                               jnp.asarray(s['latent'][0]))
+            pf = color_pose_feature(
+                params['color'], cfg.color,
+                {'rots_full': jnp.asarray(s['rots_full'])[None],
+                 'Jtrs_posed': jnp.asarray(s['Jtr_posed'])[None],
+                 'latent_code': jnp.asarray(s['latent'])})
+            rgb, ws = shade_samples(
+                params, cfg, gen, frame, jnp.asarray(pts),
+                jnp.asarray(z_vals), jnp.asarray(T_fwd),
+                jnp.asarray(mask), jnp.asarray(dirs), jnp.asarray(dirs),
+                pf, training=True)
+            return rgb.sum() + ws.sum(), (rgb, ws)
+
+        (loss_j, (rgb_j, ws_j)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+
+        np.testing.assert_allclose(np.asarray(rgb_j),
+                                   rgb_t.detach().numpy(), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(ws_j),
+                                   ws_t.detach().numpy().squeeze(-1),
+                                   atol=2e-5)
+        np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-5)
+        grad_ours = np.asarray(grads['color']['layers'][0]['v'])
+        np.testing.assert_allclose(grad_ours, grad_ref, atol=3e-4,
+                                   rtol=1e-3)
