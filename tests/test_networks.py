@@ -182,3 +182,36 @@ class TestColorNetwork:
                                      jnp.asarray(normals), jnp.asarray(views),
                                      jnp.asarray(feats), pf))
         np.testing.assert_allclose(out, out_ref, atol=2e-5)
+
+
+class TestSdfMlp:
+    def test_parity_geo_mlp(self, rng):
+        """IDR-style SDFNetwork ('geo_mlp') parity vs reference."""
+        import importlib
+        decoder_mod = importlib.import_module(
+            'im2mesh.metaavatar.models.decoder')
+        from arah_tpu.nn.sdf_mlp import (SdfMlpConfig, sdf_mlp_apply)
+        from arah_tpu.train.checkpoints import convert_pose_encoder
+        torch.manual_seed(0)
+        ref = decoder_mod.SDFNetwork(
+            d_in=3, d_out=129, d_hidden=128, n_layers=4, skip_in=[2],
+            cond_in=[0], multires=4, bias=0.5, scale=1.0,
+            geometric_init=True, weight_norm=True, inside_outside=False)
+        cfg = SdfMlpConfig(d_in=3, d_out=129, d_hidden=128, n_layers=4,
+                           skip_in=(2,), cond_in=(0,), multires=4,
+                           bias=0.5, scale=1.0)
+        from arah_tpu.train.checkpoints import convert_wn_mlp
+        params = {'layers': convert_wn_mlp(sd_numpy(ref), '', 5),
+                  'pose_encoder': convert_pose_encoder(
+                      sd_numpy(ref.pose_encoder), '')}
+        pts = rng.randn(1, 32, 3).astype(np.float32) * 0.5
+        rots = rng.randn(1, 24, 9).astype(np.float32)
+        Jtrs = rng.randn(1, 24, 3).astype(np.float32)
+        with torch.no_grad():
+            out_ref = ref({'coords': torch.tensor(pts),
+                           'rots': torch.tensor(rots),
+                           'Jtrs': torch.tensor(Jtrs)}).numpy()
+        out = np.asarray(sdf_mlp_apply(
+            params, cfg, jnp.asarray(pts[0]), jnp.asarray(rots),
+            jnp.asarray(Jtrs)))
+        np.testing.assert_allclose(out, out_ref[0], atol=3e-5)
