@@ -529,9 +529,33 @@ class ZJUMoCapDataset(HumanVideoDataset):
 
 
 class H36MDataset(ZJUMoCapDataset):
-    """Human3.6M (Animatable-NeRF layout): same structure; images live in
-    a `Posing/` subdirectory and masks are not eroded by default
-    (reference `data/h36m.py`)."""
+    """Human3.6M (Animatable-NeRF layout): the sequence lives under a
+    `Posing/` subdirectory and intrinsics are already expressed at the
+    native (1002, 1000) resolution (reference `data/h36m.py:96-128,265`).
+    """
+
+    def __init__(self, dataset_folder, img_size=(1002, 1000), **kwargs):
+        super().__init__(dataset_folder, img_size=img_size, **kwargs)
+
+    def _subject_dir(self, subject):
+        return os.path.join(self.dataset_folder, subject, 'Posing')
+
+    def _load_cameras(self, subject, views):
+        with open(os.path.join(self.dataset_folder, subject, 'Posing',
+                               'cam_params.json')) as f:
+            cameras = json.load(f)
+        names = views if len(views) else cameras['all_cam_names']
+        return {n: cameras[n] for n in names}
+
+    def _index_frames(self, subject, start, end, rate):
+        sub = os.path.join(subject, 'Posing')
+        return super()._index_frames(sub, start, end, rate)
+
+    def _rescale_K(self, K, orig_img_size):
+        # H36M intrinsics are pre-scaled for the target resolution
+        if tuple(self.img_size) == (1002, 1000):
+            return K.copy()
+        return super()._rescale_K(K, (1002, 1000))
 
 
 class PeopleSnapshotDataset(ZJUMoCapDataset):
