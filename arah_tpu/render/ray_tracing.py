@@ -33,6 +33,11 @@ class RayTracerConfig(NamedTuple):
     surface_vol_range: float = 0.05
     clamp_dist: float = 0.1
     corr_max_steps: int = 50
+    # > 0: run the canonical-correspondence Broyden in fixed-size point
+    # chunks via lax.map so each chunk's while_loop exits as soon as ITS
+    # points converge (the dense loop pays the global worst straggler for
+    # every point; convergence is spatially correlated along rays).
+    corr_chunk: int = 0
 
 
 class SmplRef(NamedTuple):
@@ -201,15 +206,32 @@ def canonicalize_samples(cfg: RayTracerConfig, sdf_fn: Callable,
     x_bar = pts_world - frame.trans
     x0 = jnp.einsum('nab,nb->na', T0_inv[:, :3, :3], x_bar) + T0_inv[:, :3, 3]
 
-    corr = search_canonical_corr(
-        skin_fn, frame, x_bar, x0, T0, max_steps=cfg.corr_max_steps,
-        cvg_thresh=cfg.root_finding_threshold, active_init=flat_mask)
+    def solve(args):
+        xb, xi, ti, m = args
+        return search_canonical_corr(
+            skin_fn, frame, xb, xi, ti, max_steps=cfg.corr_max_steps,
+            cvg_thresh=cfg.root_finding_threshold, active_init=m)
+
+    n_total = x_bar.shape[0]
+    if cfg.corr_chunk > 0 and n_total % cfg.corr_chunk == 0             and n_total > cfg.corr_chunk:
+        nc = n_total // cfg.corr_chunk
+        reshape = lambda a: a.reshape((nc, cfg.corr_chunk) + a.shape[1:])
+        corr = jax.lax.map(
+            solve, (reshape(x_bar), reshape(x0), reshape(T0),
+                    reshape(flat_mask)))
+        corr = jax.tree.map(
+            lambda a: a.reshape((n_total,) + a.shape[2:])
+            if a.ndim >= 2 else a, corr)
+        x_hat, T_fwd, valid = corr.x_hat, corr.T_fwd, corr.valid
+    else:
+        corr = solve((x_bar, x0, T0, flat_mask))
+        x_hat, T_fwd, valid = corr.x_hat, corr.T_fwd, corr.valid
 
     x_norm = normalize_canonical_points(
-        corr.x_hat, frame.coord_min, frame.coord_max, frame.center)
+        x_hat, frame.coord_min, frame.coord_max, frame.center)
     return (x_norm.reshape(n, S, 3),
-            corr.T_fwd.reshape(n, S, 4, 4),
-            (corr.valid & flat_mask).reshape(n, S))
+            T_fwd.reshape(n, S, 4, 4),
+            (valid & flat_mask).reshape(n, S))
 
 
 class TraceOutput(NamedTuple):
