@@ -37,7 +37,9 @@ class RayTracerConfig(NamedTuple):
     # chunks via lax.map so each chunk's while_loop exits as soon as ITS
     # points converge (the dense loop pays the global worst straggler for
     # every point; convergence is spatially correlated along rays).
-    corr_chunk: int = 0
+    # Measured +16% eval throughput on v5e (PERF.md); falls back to the
+    # dense path when the point count isn't divisible by the chunk.
+    corr_chunk: int = 16384
 
 
 class SmplRef(NamedTuple):
