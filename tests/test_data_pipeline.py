@@ -1,5 +1,7 @@
 """End-to-end data pipeline test: fake on-disk ZJU-layout dataset ->
 HumanVideoDataset -> TrainBatch -> one training step."""
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -112,3 +114,45 @@ class TestTrainFromDataset:
         batches = list(iter(pf))
         assert len(batches) == 2
         assert batches[0].ray_dirs.shape == (2, 256, 3)
+
+
+class TestFactoryAndH36M:
+    def test_get_dataset_factory(self, fake_root):
+        root, misc_dir, _ = fake_root
+        from arah_tpu.config.factory import get_dataset
+        cfg = {
+            'data': {'dataset': 'zju_mocap', 'path': root,
+                     'smpl_misc': misc_dir,
+                     'train_split': ['CoreView_313'],
+                     'val_split': ['CoreView_313'],
+                     'test_split': ['CoreView_313'],
+                     'train_views': ['1', '7'], 'val_views': ['1'],
+                     'test_views': ['1'],
+                     'num_fg_samples': 32, 'num_bg_samples': 32,
+                     'sample_reg_surface': True, 'erode_mask': False},
+            'training': {'inside_weight': 10.0},
+        }
+        ds = get_dataset('train', cfg)
+        assert len(ds) == 4
+        item = ds[0]
+        assert 'image.points_inside' in item
+
+    def test_h36m_layout(self, fake_root, tmp_path):
+        """H36M subclass reads the {subject}/Posing/... layout."""
+        import shutil
+        root, misc_dir, _ = fake_root
+        h36m_root = str(tmp_path / 'h36m')
+        os.makedirs(os.path.join(h36m_root, 'S9'))
+        shutil.copytree(os.path.join(root, 'CoreView_313'),
+                        os.path.join(h36m_root, 'S9', 'Posing'))
+        from arah_tpu.data.human_video import H36MDataset
+        ds = H36MDataset(h36m_root, smpl_misc_dir=misc_dir,
+                         subjects=('S9',), mode='train',
+                         img_size=(128, 128), num_fg_samples=32,
+                         num_bg_samples=32, erode_mask=False, seed=0,
+                         views=('1',))
+        assert len(ds) == 2
+        item = ds[0]
+        assert item['inputs'].shape == (64, 3)
+        # K untouched only at native res; here it is rescaled from 1002x1000
+        assert np.isfinite(item['image.K']).all()
