@@ -188,7 +188,7 @@ def canonicalize_samples(cfg: RayTracerConfig, sdf_fn: Callable,
                          skin_fn: Callable, frame: CanonicalFrame,
                          smpl: SmplRef, cam_loc: jax.Array,
                          ray_dirs: jax.Array, z_vals: jax.Array,
-                         sample_mask: jax.Array):
+                         sample_mask: jax.Array, eval_mode: bool = True):
     """Backward-map all ray samples to canonical space via root-finding.
 
     Mirrors `inv_transform_points_opt` (`ray_tracing.py:403-461`): KNN-init
@@ -215,7 +215,11 @@ def canonicalize_samples(cfg: RayTracerConfig, sdf_fn: Callable,
             cvg_thresh=cfg.root_finding_threshold, active_init=m)
 
     n_total = x_bar.shape[0]
-    if cfg.corr_chunk > 0 and n_total % cfg.corr_chunk == 0             and n_total > cfg.corr_chunk:
+    # chunked solve in eval mode only: the chunked training graph compiles
+    # prohibitively slowly on the axon remote compiler
+    if cfg.corr_chunk > 0 and eval_mode \
+            and n_total % cfg.corr_chunk == 0 \
+            and n_total > cfg.corr_chunk:
         nc = n_total // cfg.corr_chunk
         reshape = lambda a: a.reshape((nc, cfg.corr_chunk) + a.shape[1:])
         corr = jax.lax.map(
@@ -258,5 +262,5 @@ def trace_and_sample(cfg: RayTracerConfig, sdf_fn: Callable,
         cfg, key, body_mask, surf.start_dis, near, far, eval_mode)
     pts, tfs, cvg = canonicalize_samples(
         cfg, sdf_fn, skin_fn, frame, smpl, cam_loc, ray_dirs, z_vals,
-        sample_mask)
+        sample_mask, eval_mode=eval_mode)
     return TraceOutput(surf, SamplerResult(z_vals, sample_mask, pts, tfs, cvg))
