@@ -164,13 +164,31 @@ def _make_kernel(n_layers, max_steps, cvg_thresh, dvg_thresh, eps,
         update = -_mat3_vec(J_inv, gx)
         gx_norm = jnp.sqrt(jnp.sum(gx * gx, axis=1, keepdims=True))
 
-        def cond(state):
-            i, x, gx, J_inv, update, x_opt, t_opt, gn_opt, active = state
-            return (i < max_steps) & jnp.any(active)
+        # Pack the whole per-point solver state into ONE (T, 64) array so
+        # the while-loop carry is a single vector value (Mosaic's layout
+        # inference chokes on carries of dozens of narrow vectors).
+        # columns: 0:3 x | 3:6 gx | 6:15 J_inv | 15:18 update |
+        #          18:21 x_opt | 21:37 t_opt | 37 gn_opt | 38 active | pad
+        state0 = jnp.concatenate([
+            x, gx, J_inv, update, x, T16_0, gx_norm,
+            mask0.astype(jnp.float32),
+            jnp.zeros((x.shape[0], 64 - 39), jnp.float32)], axis=1)
 
-        def body(state):
-            i, x, gx, J_inv, update, x_opt, t_opt, gn_opt, active = state
-            m = active
+        def cond(carry):
+            i, st = carry
+            return (i < max_steps) & (jnp.max(st[:, 38:39]) > 0.0)
+
+        def body(carry):
+            i, st = carry
+            x = st[:, 0:3]
+            gx = st[:, 3:6]
+            J_inv = st[:, 6:15]
+            update = st[:, 15:18]
+            x_opt = st[:, 18:21]
+            t_opt = st[:, 21:37]
+            gn_opt = st[:, 37:38]
+            m = st[:, 38:39] > 0.0
+
             delta_x = jnp.where(m, update, 0.0)
             x_new = x + delta_x
             gx_new_full, T16 = fwd(x_new)
@@ -185,8 +203,6 @@ def _make_kernel(n_layers, max_steps, cvg_thresh, dvg_thresh, eps,
 
             active_new = (gn_opt > cvg_thresh) & (gn < dvg_thresh) & m
 
-            # rank-1 good-Broyden update on (T, 9) J_inv
-            # vT = delta_x^T J_inv  (row vector per point)
             vT = jnp.concatenate([
                 delta_x[:, 0:1] * J_inv[:, 0:1]
                 + delta_x[:, 1:2] * J_inv[:, 3:4]
@@ -200,19 +216,23 @@ def _make_kernel(n_layers, max_steps, cvg_thresh, dvg_thresh, eps,
             a = delta_x - _mat3_vec(J_inv, delta_gx)
             bdot = jnp.sum(vT * delta_gx, axis=1, keepdims=True)
             bdot = jnp.where(bdot >= 0, bdot + eps, bdot - eps)
-            u = a / bdot                                       # (T, 3)
+            u = a / bdot
             outer = jnp.concatenate([
                 u[:, 0:1] * vT, u[:, 1:2] * vT, u[:, 2:3] * vT], axis=1)
             J_inv_new = J_inv + jnp.where(m, outer, 0.0)
             update_new = -_mat3_vec(J_inv_new, gx_new)
 
-            return (i + 1, x_new, gx_new, J_inv_new, update_new,
-                    x_opt, t_opt, gn_opt, active_new)
+            st_new = jnp.concatenate([
+                x_new, gx_new, J_inv_new, update_new, x_opt, t_opt, gn_opt,
+                active_new.astype(jnp.float32),
+                jnp.zeros((x_new.shape[0], 64 - 39), jnp.float32)], axis=1)
+            return (i + 1, st_new)
 
-        state = (jnp.zeros((), jnp.int32), x, gx, J_inv, update,
-                 x, T16_0, gx_norm, mask0)
-        state = jax.lax.while_loop(cond, body, state)
-        _, _, _, _, _, x_opt, t_opt, gn_opt, _ = state
+        _, st = jax.lax.while_loop(cond, body,
+                                   (jnp.zeros((), jnp.int32), state0))
+        x_opt = st[:, 18:21]
+        t_opt = st[:, 21:37]
+        gn_opt = st[:, 37:38]
 
         valid = (gn_opt < cvg_thresh) & mask0
         xout_ref[:] = jnp.where(mask0, x_opt, x0_ref[:])
