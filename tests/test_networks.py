@@ -215,3 +215,62 @@ class TestSdfMlp:
             params, cfg, jnp.asarray(pts[0]), jnp.asarray(rots),
             jnp.asarray(Jtrs)))
         np.testing.assert_allclose(out, out_ref[0], atol=3e-5)
+
+
+class TestPretrainedBootstraps:
+    def test_metaavatar_hypo_init_identity(self, rng):
+        """With zero-init hyper heads, the generated SIREN must equal the
+        pretrained MetaAvatar weights loaded into hypo_init (the reference
+        bootstrap contract, `hyperlayers.py:315-342,418-423`)."""
+        from arah_tpu.nn.hypernet import (HypernetConfig, init_hypernet,
+                                          hypernet_generate, hypernet_cond,
+                                          siren_layer_dims)
+        from arah_tpu.train.checkpoints import load_metaavatar_hypo_init
+        cfg = HypernetConfig(hidden_features=32, num_hidden_layers=2,
+                             use_film=False)
+        params = init_hypernet(jax.random.PRNGKey(0), cfg)
+        # fake MetaAvatar ckpt state dict
+        sd = {}
+        dims = siren_layer_dims(cfg)
+        expect = []
+        for i, (d_in, d_out) in enumerate(dims):
+            w = rng.randn(d_out, d_in).astype(np.float32)
+            b = rng.randn(d_out).astype(np.float32)
+            sd[f'decoder.net.net.{i}.0.weight'] = w
+            sd[f'decoder.net.net.{i}.0.bias'] = b
+            expect.append((w, b))
+        params['hypo_init'] = load_metaavatar_hypo_init(sd, cfg)
+
+        cond = hypernet_cond(params, cfg,
+                             jnp.asarray(rng.randn(1, 24, 9),
+                                         jnp.float32),
+                             jnp.asarray(rng.randn(1, 24, 3),
+                                         jnp.float32))[0]
+        gen = hypernet_generate(params, cfg, cond, None)
+        for i, (w, b) in enumerate(expect):
+            np.testing.assert_allclose(np.asarray(gen.weights[i]), w,
+                                       atol=1e-6)
+            np.testing.assert_allclose(np.asarray(gen.biases[i]), b,
+                                       atol=1e-6)
+
+    def test_snarf_skinning_load(self, rng):
+        """SNARF fwd-skinning ckpt load (`metaavatar_render/config.py:77-89`
+        contract: `skinning_decoder_fwd.` prefix, weight-normed lin layers).
+        """
+        from arah_tpu.nn.skinning import (SkinningConfig, skinning_logits)
+        from arah_tpu.train.checkpoints import load_snarf_skinning
+        cfg = SkinningConfig(d_hidden=32, n_layers=2)
+        sd = {}
+        dims = [3, 32, 32, 25]
+        for l in range(3):
+            v = rng.randn(dims[l + 1], dims[l]).astype(np.float32)
+            g = np.abs(rng.randn(dims[l + 1], 1)).astype(np.float32)
+            sd[f'skinning_decoder_fwd.lin{l}.weight_v'] = v
+            sd[f'skinning_decoder_fwd.lin{l}.weight_g'] = g
+            sd[f'skinning_decoder_fwd.lin{l}.bias'] = \
+                rng.randn(dims[l + 1]).astype(np.float32)
+        params = load_snarf_skinning(sd, cfg.n_layers)
+        out = skinning_logits(params, cfg,
+                              jnp.asarray(rng.randn(8, 3), jnp.float32))
+        assert out.shape == (8, 25)
+        assert np.isfinite(np.asarray(out)).all()

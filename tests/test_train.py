@@ -98,3 +98,21 @@ class TestSharded:
         # params identical on all devices (replicated update)
         v = new_state.params['deviation']['variance']
         assert np.isfinite(float(v))
+
+
+class TestCheckpointRoundTrip:
+    def test_orbax_save_restore(self, tmp_path):
+        import jax.numpy as jnp
+        from arah_tpu.train import checkpoints as ckpt_lib
+        cfg, loss_w, optimizer, state, batch, _ = setup(n_rays=32)
+        d = str(tmp_path / 'ckpts')
+        import os
+        os.makedirs(d)
+        ckpt_lib.save_checkpoint(d, 7, state)
+        assert ckpt_lib.latest_step(d) == 7
+        restored, step = ckpt_lib.restore_checkpoint(d, state)
+        assert step == 7
+        a = jax.tree.leaves(state.params)
+        b = jax.tree.leaves(restored.params)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
