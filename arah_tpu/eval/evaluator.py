@@ -25,7 +25,7 @@ from arah_tpu.utils import metrics as metrics_lib
 
 
 def render_frame_rays(params, cfg: ModelConfig, fd, item, latent,
-                      chunk: int = 4096, key=None):
+                      chunk: int = 8192, key=None):
     """Render every sampled ray of an eval item; returns (rgb (N, 3),
     weights (N,), depth (N,), converged (N,))."""
     if key is None:
@@ -101,7 +101,7 @@ def normals_from_depth(points_cam, image_mask):
 
 
 def evaluate_frame(params, cfg: ModelConfig, item, latent=None,
-                   chunk: int = 4096, lpips_fn=None):
+                   chunk: int = 8192, lpips_fn=None):
     """Validation-style metrics for one eval item. Returns dict with
     psnr/ssim/lpips + rendered images."""
     fd = frame_from_item(item)

@@ -68,7 +68,7 @@ def eval_bench():
     from __graft_entry__ import _flagship_config, _build_scene
     from arah_tpu.render.renderer import render
 
-    n_rays = int(os.environ.get('BENCH_EVAL_RAYS', 4096))
+    n_rays = int(os.environ.get('BENCH_EVAL_RAYS', 8192))
     iters = int(os.environ.get('BENCH_ITERS', 5))
     cfg = _flagship_config()
     params, fd, inp = _build_scene(cfg, n_rays=n_rays)
