@@ -25,11 +25,21 @@ from arah_tpu.utils import metrics as metrics_lib
 
 
 def render_frame_rays(params, cfg: ModelConfig, fd, item, latent,
-                      chunk: int = 8192, key=None):
+                      chunk: int = 8192, key=None, mesh=None):
     """Render every sampled ray of an eval item; returns (rgb (N, 3),
-    weights (N,), depth (N,), converged (N,))."""
+    weights (N,), depth (N,), converged (N,)).
+
+    With a `mesh`, each chunk's rays are sharded over the `data` axis
+    (multi-chip eval; params/frame state replicated) — the arah_tpu
+    equivalent of the reference's DDP validation all_gather
+    (`lightning_model.py:250-283`), expressed as XLA SPMD."""
     if key is None:
         key = jax.random.PRNGKey(0)
+    shard = rep = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        shard = NamedSharding(mesh, P('data'))
+        rep = NamedSharding(mesh, P())
     rays = np.asarray(item['inputs.ray_dirs'])
     bounds = np.asarray(item['inputs.body_bounds_intersections'])
     n = rays.shape[0]
@@ -62,8 +72,13 @@ def render_frame_rays(params, cfg: ModelConfig, fd, item, latent,
         rd = np.pad(rays[i:j], ((0, pad), (0, 0)), mode='edge')
         nr = np.pad(bounds[i:j, 0], (0, pad), mode='edge')
         fr = np.pad(bounds[i:j, 1], (0, pad), mode='edge')
-        r, w, d, c = run_chunk(jnp.asarray(rd), jnp.asarray(nr),
-                               jnp.asarray(fr))
+        rd_j, nr_j, fr_j = (jnp.asarray(rd), jnp.asarray(nr),
+                            jnp.asarray(fr))
+        if shard is not None:
+            rd_j = jax.device_put(rd_j, shard)
+            nr_j = jax.device_put(nr_j, shard)
+            fr_j = jax.device_put(fr_j, shard)
+        r, w, d, c = run_chunk(rd_j, nr_j, fr_j)
         rgb[i:j] = np.asarray(r)[:j - i]
         weights[i:j] = np.asarray(w)[:j - i]
         depth[i:j] = np.asarray(d)[:j - i]

@@ -116,3 +116,33 @@ class TestCheckpointRoundTrip:
         b = jax.tree.leaves(restored.params)
         for x, y in zip(a, b):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+class TestShardedEval:
+    def test_render_frame_rays_on_mesh(self):
+        """Eval chunk rendering sharded over the 8-device CPU mesh."""
+        from arah_tpu.data.fake_dataset import make_fake_zju_dataset
+        from arah_tpu.data.human_video import ZJUMoCapDataset
+        from arah_tpu.data.loader import frame_from_item
+        from arah_tpu.eval.evaluator import render_frame_rays
+        from arah_tpu.parallel.mesh import make_mesh
+        import tempfile, os
+        with tempfile.TemporaryDirectory() as root:
+            misc, _ = make_fake_zju_dataset(root, n_frames=1, views=('1',),
+                                            n_verts=256)
+            ds = ZJUMoCapDataset(root, smpl_misc_dir=misc,
+                                 subjects=('CoreView_313',), mode='val',
+                                 img_size=(96, 96), erode_mask=False,
+                                 seed=0)
+            item = ds[0]
+            cfg = small_config()
+            params = init_model_params(jax.random.PRNGKey(0), cfg,
+                                      n_latent_frames=2)
+            fd = frame_from_item(item)
+            mesh = make_mesh()
+            rgb, w, d, c = render_frame_rays(
+                params, cfg, fd, item, params['latent'][0], chunk=256,
+                mesh=mesh)
+            assert np.isfinite(rgb).all()
+            n = np.asarray(item['inputs.ray_dirs']).shape[0]
+            assert rgb.shape == (n, 3)
