@@ -21,9 +21,11 @@ from arah_tpu.data.human_video import (HumanVideoDataset, get_bound_2d_mask,
 class ODPDataset(HumanVideoDataset):
 
     def __init__(self, dataset_folder, pose_dir, cam_name='1',
-                 img_size=(512, 512), **kwargs):
+                 img_size=(512, 512), orig_img_size=(1024, 1024), **kwargs):
         self.pose_dir = pose_dir
         self._odp_cam_name = cam_name
+        self.orig_img_size = (orig_img_size, orig_img_size) \
+            if isinstance(orig_img_size, int) else tuple(orig_img_size)
         kwargs.setdefault('mode', 'test')
         kwargs.setdefault('erode_mask', False)
         super().__init__(dataset_folder, img_size=img_size, **kwargs)
@@ -49,7 +51,8 @@ class ODPDataset(HumanVideoDataset):
         cam = self.cameras[rec['cam_name']]
         H, W = self.img_size
 
-        K = self._rescale_K(np.asarray(cam['K'], np.float32), (1024, 1024))
+        K = self._rescale_K(np.asarray(cam['K'], np.float32),
+                            self.orig_img_size)
         R = np.asarray(cam['R'], np.float32)
         cam_trans = np.asarray(cam['T'], np.float32).ravel()
         cam_loc = (-R.T @ cam_trans).astype(np.float32)
