@@ -28,6 +28,9 @@ def main():
     p.add_argument('--low-vram', action='store_true')
     p.add_argument('--chunk', type=int, default=4096)
     p.add_argument('--mesh-res', type=int, default=256)
+    p.add_argument('--free-viewpoint', type=int, default=0,
+                   help='render N spiral novel views of each frame '
+                        '(reference gen_path)')
     args = p.parse_args()
 
     from arah_tpu.config import load_config, model_config_from_cfg
@@ -70,9 +73,29 @@ def main():
     vis_dir = os.path.join(cfg['training']['out_dir'], 'vis')
     os.makedirs(vis_dir, exist_ok=True)
 
+    spiral = None
+    if args.free_viewpoint > 0:
+        from arah_tpu.utils.camera_path import gen_spiral_path
+        w2cs = []
+        for name in dataset.cam_names:
+            cam = dataset.cameras[name]
+            m = np.eye(4)
+            m[:3, :3] = np.asarray(cam['R'])
+            m[:3, 3] = np.asarray(cam['T']).ravel()
+            w2cs.append(m)
+        spiral = gen_spiral_path(w2cs * max(1, 4 // len(w2cs)),
+                                 num_render_views=args.free_viewpoint)
+
     frames = []
     for i in range(len(dataset)):
         item = dataset[i]
+        if spiral is not None:
+            # cycle the spiral cameras over frames
+            m = spiral[i % len(spiral)]
+            item['image.R'] = m[:3, :3].astype(np.float32)
+            item['image.T'] = m[:3, 3].astype(np.float32)
+            item['image.cam_loc'] = (-m[:3, :3].T @ m[:3, 3]
+                                     ).astype(np.float32)
         latent = None
         if 'latent' in params:
             latent = params['latent'][-1]   # novel_seq fallback row

@@ -194,3 +194,27 @@ class TestEmbedder:
             ours = np.asarray(positional_encoding(jnp.asarray(x), multires))
             assert ours.shape[-1] == dim
             np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+class TestSpiralPath:
+    def test_vs_reference_gen_path(self):
+        from im2mesh.utils.utils import gen_path as ref_gen_path
+        from arah_tpu.utils.camera_path import gen_spiral_path
+        w2cs = []
+        for th in np.linspace(0, 2 * np.pi, 6)[:-1]:
+            pos = np.array([2.5 * np.sin(th), 0.3, -2.5 * np.cos(th)])
+            fwd = -pos / np.linalg.norm(pos)
+            up = np.array([0., -1., 0.])
+            right = np.cross(up, fwd)
+            right /= np.linalg.norm(right)
+            up2 = np.cross(fwd, right)
+            m = np.eye(4)
+            m[:3, :3] = np.stack([right, up2, fwd])
+            m[:3, 3] = -m[:3, :3] @ pos
+            w2cs.append(m)
+        ref = ref_gen_path([m.copy() for m in w2cs], num_render_views=10)
+        ours = gen_spiral_path([m.copy() for m in w2cs],
+                               num_render_views=10)
+        for r, o in zip(ref, ours):
+            np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                       atol=1e-10)
