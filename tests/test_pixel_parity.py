@@ -357,3 +357,83 @@ class TestShadingGradientParity:
         grad_ours = np.asarray(grads['color']['layers'][0]['v'])
         np.testing.assert_allclose(grad_ours, grad_ref, atol=3e-4,
                                    rtol=1e-3)
+
+
+class TestImplicitDiffGradientParity:
+    def test_skinning_gradients_through_correction(self, scene):
+        """train_skinning_net=True: gradients reach the skinning network
+        only through the implicit-differentiation correction
+        (`implicit_differentiable_renderer.py:315-334`); they must match
+        the reference's autograd-through-the-trick exactly."""
+        sdf_decoder, skinning_model, color, deviation, idhr = \
+            build_reference_modules()
+        # enable the correction path on both sides
+        idhr.train_skinning_net = True
+        cfg = model_config()._replace(train_skinning_net=True)
+        params = convert_params(sdf_decoder, skinning_model, color,
+                                deviation)
+        s = scene
+        rng = np.random.RandomState(11)
+        n_pts, S = 4, 8
+
+        pts = (rng.rand(n_pts, S, 3).astype(np.float32) - 0.5) * 1.0
+        z_vals = np.sort(
+            rng.rand(n_pts, S).astype(np.float32) * 2 + 1.5, axis=-1)
+        T_fwd = np.broadcast_to(np.eye(4, dtype=np.float32),
+                                (n_pts, S, 4, 4)).copy()
+        mask = np.ones((n_pts, S), bool)
+        dirs = s['dirs'][:n_pts]
+
+        tt = lambda x: torch.tensor(np.asarray(x), dtype=torch.float32)
+        dec_out = sdf_decoder({
+            'coords': torch.zeros(1, 1, 3),
+            'rots': tt(s['rots_local'])[None],
+            'Jtrs': tt(s['Jtr_norm'])[None],
+            'latent': tt(s['latent'])})
+        sdf_network = dec_out['decoder']
+        idhr.train()
+        pose_cond = {'rots_full': tt(s['rots_full'])[None],
+                     'Jtrs_posed': tt(s['Jtr_posed'])[None],
+                     'latent_code': tt(s['latent'])}
+        rgb_t, ws_t = idhr.get_rbg_value_vol_sdf(
+            sdf_network, tt(pts), tt(z_vals), tt(T_fwd),
+            torch.tensor(mask), tt(dirs), tt(dirs), pose_cond,
+            torch.zeros(1, 1, 3), torch.ones(1, 1, 1),
+            torch.empty(1, 0), tt(s['bone_transforms'])[None],
+            torch.tensor(float(s['cmin'])),
+            torch.tensor(float(s['cmax'])), tt(s['center'])[None, None])
+        (rgb_t.sum() + ws_t.sum()).backward()
+        deformer = skinning_model.skinning_decoder_fwd
+        grad_ref = deformer.lin0.weight_v.grad.detach().numpy()
+        assert np.abs(grad_ref).max() > 0, 'reference grad is zero?'
+
+        from arah_tpu.render.renderer import generate_sdf, shade_samples
+        from arah_tpu.nn.color import color_pose_feature
+        frame = CanonicalFrame(
+            bone_transforms=jnp.asarray(s['bone_transforms']),
+            trans=jnp.asarray(s['trans']),
+            coord_min=jnp.asarray(s['cmin']),
+            coord_max=jnp.asarray(s['cmax']),
+            center=jnp.asarray(s['center']))
+
+        def loss_fn(params):
+            gen = generate_sdf(params, cfg,
+                               jnp.asarray(s['rots_local'])[None],
+                               jnp.asarray(s['Jtr_norm'])[None],
+                               jnp.asarray(s['latent'][0]))
+            pf = color_pose_feature(
+                params['color'], cfg.color,
+                {'rots_full': jnp.asarray(s['rots_full'])[None],
+                 'Jtrs_posed': jnp.asarray(s['Jtr_posed'])[None],
+                 'latent_code': jnp.asarray(s['latent'])})
+            rgb, ws = shade_samples(
+                params, cfg, gen, frame, jnp.asarray(pts),
+                jnp.asarray(z_vals), jnp.asarray(T_fwd),
+                jnp.asarray(mask), jnp.asarray(dirs), jnp.asarray(dirs),
+                pf, training=True)
+            return rgb.sum() + ws.sum()
+
+        grads = jax.grad(loss_fn)(params)
+        grad_ours = np.asarray(grads['skinning']['layers'][0]['v'])
+        np.testing.assert_allclose(grad_ours, grad_ref, atol=5e-4,
+                                   rtol=2e-3)
