@@ -437,3 +437,86 @@ class TestImplicitDiffGradientParity:
         grad_ours = np.asarray(grads['skinning']['layers'][0]['v'])
         np.testing.assert_allclose(grad_ours, grad_ref, atol=5e-4,
                                    rtol=2e-3)
+
+
+class TestFullDepthParity:
+    def test_flagship_tracer_depth(self, scene):
+        """Same pixel-parity check at the full reference tracer depth
+        (50 sphere-trace iters, 64 samples, 16+16 surface samples) on a
+        small ray set — catches any depth/size-dependent divergence."""
+        sdf_decoder, skinning_model, color, deviation, idhr = \
+            build_reference_modules()
+        idhr.ray_tracer.sphere_tracing_iters = 50
+        idhr.ray_tracer.n_steps = 64
+        idhr.ray_tracer.near_surface_vol_samples = 16
+        idhr.ray_tracer.far_surface_vol_samples = 16
+        params = convert_params(sdf_decoder, skinning_model, color,
+                                deviation)
+        cfg = model_config()._replace(
+            tracer=RayTracerConfig(sphere_tracing_iters=50, n_steps=64,
+                                   near_surface_vol_samples=16,
+                                   far_surface_vol_samples=16,
+                                   corr_max_steps=50))
+        s = scene
+        n = 8
+        tt = lambda x: torch.tensor(np.asarray(x), dtype=torch.float32)
+        with torch.no_grad():
+            dec_out = sdf_decoder({
+                'coords': torch.zeros(1, 1, 3),
+                'rots': tt(s['rots_local'])[None],
+                'Jtrs': tt(s['Jtr_norm'])[None],
+                'latent': tt(s['latent'])})
+            inputs = {
+                'ray_dirs': tt(s['dirs'][:n])[None],
+                'cam_loc': tt(s['cam'])[None],
+                'pose': torch.eye(4)[None],
+                'body_mask': torch.ones(1, n),
+                'body_bounds_intersections': tt(np.stack(
+                    [s['near'][:n], s['far'][:n]], -1))[None],
+                'loc': torch.zeros(1, 1, 3),
+                'sc_factor': torch.ones(1, 1, 1),
+                'smpl_verts': tt(s['verts_world'])[None],
+                'skinning_weights': tt(s['sw'])[None],
+                'vol_feat': torch.empty(1, 0),
+                'bone_transforms': tt(s['bone_transforms'])[None],
+                'trans': tt(s['trans'])[None, None],
+                'coord_min': torch.tensor([float(s['cmin'])]),
+                'coord_max': torch.tensor([float(s['cmax'])]),
+                'center': tt(s['center'])[None, None],
+                'minimal_shape': tt(s['msv'])[None],
+                'sdf_network': dec_out['decoder'],
+                'pose_cond': {'rots_full': tt(s['rots_full'])[None],
+                              'Jtrs_posed': tt(s['Jtr_posed'])[None],
+                              'latent_code': tt(s['latent'])},
+            }
+            ref_out = idhr(inputs)
+        ref_rgb = ref_out['rgb_values'].numpy()[0]
+
+        frame = CanonicalFrame(
+            bone_transforms=jnp.asarray(s['bone_transforms']),
+            trans=jnp.asarray(s['trans']),
+            coord_min=jnp.asarray(s['cmin']),
+            coord_max=jnp.asarray(s['cmax']),
+            center=jnp.asarray(s['center']))
+        smpl_ref = SmplRef(verts_posed=jnp.asarray(s['verts_world']),
+                           skinning_weights=jnp.asarray(s['sw']))
+        inp = RenderInputs(
+            cam_loc=jnp.asarray(s['cam']),
+            ray_dirs=jnp.asarray(s['dirs'][:n]),
+            near=jnp.asarray(s['near'][:n]),
+            far=jnp.asarray(s['far'][:n]),
+            frame=frame, smpl=smpl_ref,
+            rots=jnp.asarray(s['rots_local'])[None],
+            Jtrs=jnp.asarray(s['Jtr_norm'])[None],
+            rots_full=jnp.asarray(s['rots_full'])[None],
+            Jtrs_posed=jnp.asarray(s['Jtr_posed'])[None],
+            pose_cond_extra={'latent_code': jnp.asarray(s['latent'])},
+            geo_latent=jnp.asarray(s['latent'][0]))
+        ours = render(params, cfg, inp, jax.random.PRNGKey(0),
+                      training=False)
+        our_rgb = np.asarray(ours['rgb_values'])
+        both = np.asarray(ours['network_body_mask']) \
+            & (np.abs(ref_rgb).sum(-1) > 0)
+        assert both.sum() >= 4, both.sum()
+        diff = np.abs(our_rgb[both] - ref_rgb[both])
+        assert diff.max() < 5e-3, diff.max()
