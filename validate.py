@@ -21,6 +21,9 @@ def main():
     p.add_argument('config')
     p.add_argument('--novel-view', action='store_true')
     p.add_argument('--novel-pose', action='store_true')
+    p.add_argument('--novel-pose-view', default=None,
+                   help='evaluate novel poses from this single view '
+                        '(subsampling rate 1, reference validate.py:47-50)')
     p.add_argument('--chunk', type=int, default=4096)
     p.add_argument('--max-frames', type=int, default=-1)
     args = p.parse_args()
@@ -34,10 +37,12 @@ def main():
     cfg = load_config(args.config, 'configs/default.yaml')
     model_cfg = model_config_from_cfg(cfg)
 
-    if args.novel_view:
-        dataset = get_dataset('val', cfg, subsampling_rate=30,
-                              start_frame=cfg['data']['train_start_frame'],
-                              end_frame=cfg['data']['train_end_frame'])
+    if args.novel_pose_view is not None:
+        assert args.novel_pose
+        dataset = get_dataset('test', cfg, subsampling_rate=1,
+                              view_split=[args.novel_pose_view])
+    elif args.novel_view and not args.novel_pose:
+        dataset = get_dataset('val', cfg, subsampling_rate=30)
     else:
         dataset = get_dataset('test' if args.novel_pose else 'val', cfg)
 
