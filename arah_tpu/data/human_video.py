@@ -559,5 +559,42 @@ class H36MDataset(ZJUMoCapDataset):
 
 
 class PeopleSnapshotDataset(ZJUMoCapDataset):
-    """Monocular People-Snapshot: single camera (reference
-    `data/people_snapshot.py`)."""
+    """Monocular People-Snapshot: a single identity camera from
+    `camera.pkl` (intrinsics from camera_f/camera_c, distortion camera_k,
+    R = I, T = 0), images under `image/`, masks under `mask/`
+    (reference `data/people_snapshot.py:94-134,222-232`)."""
+
+    def __init__(self, dataset_folder, img_size=(1080, 1080), **kwargs):
+        super().__init__(dataset_folder, img_size=img_size, **kwargs)
+
+    def _load_cameras(self, subject, views):
+        import pickle
+        with open(os.path.join(self.dataset_folder, subject,
+                               'camera.pkl'), 'rb') as f:
+            cam = pickle.load(f, encoding='latin1')
+        K = np.zeros((3, 3), np.float32)
+        K[0, 0], K[1, 1] = cam['camera_f']
+        K[:2, 2] = cam['camera_c']
+        K[2, 2] = 1.0
+        return {'0': {'K': K.tolist(), 'R': np.eye(3).tolist(),
+                      'T': [0.0, 0.0, 0.0],
+                      'D': np.asarray(cam['camera_k']).ravel().tolist()}}
+
+    def _index_frames(self, subject, start, end, rate):
+        subject_dir = os.path.join(self.dataset_folder, subject)
+        sl = slice(start, end if end > 0 else None, rate)
+        model_files = sorted(
+            glob.glob(os.path.join(subject_dir, 'models/*.npz')))[sl]
+        img_files = sorted(
+            glob.glob(os.path.join(subject_dir, 'image/*.jpg')))
+        frames = list(range(len(img_files)))[sl]
+        img_files = img_files[sl]
+        mask_files = sorted(
+            glob.glob(os.path.join(subject_dir, 'mask/*.png')))[sl]
+        assert len(model_files) == len(img_files) == len(mask_files)
+        return [{'subject': subject, 'gender': 'neutral', 'cam_idx': 0,
+                 'cam_name': '0', 'frame_idx': f_idx, 'data_idx': d_idx,
+                 'img_file': imgf, 'mask_file': maskf,
+                 'model_file': modelf}
+                for d_idx, (f_idx, imgf, maskf, modelf) in enumerate(
+                    zip(frames, img_files, mask_files, model_files))]
