@@ -156,3 +156,38 @@ class TestFactoryAndH36M:
         assert item['inputs'].shape == (64, 3)
         # K untouched only at native res; here it is rescaled from 1002x1000
         assert np.isfinite(item['image.K']).all()
+
+
+class TestPeopleSnapshot:
+    def test_ps_layout(self, fake_root, tmp_path):
+        """People-Snapshot subclass reads camera.pkl + image/ + mask/."""
+        import pickle, shutil, glob as globm
+        root, misc_dir, _ = fake_root
+        ps_root = str(tmp_path / 'ps')
+        subj = os.path.join(ps_root, 'male-3-casual')
+        os.makedirs(os.path.join(subj, 'image'))
+        os.makedirs(os.path.join(subj, 'mask'))
+        src = os.path.join(root, 'CoreView_313')
+        shutil.copytree(os.path.join(src, 'models'),
+                        os.path.join(subj, 'models'))
+        for i, f in enumerate(sorted(globm.glob(
+                os.path.join(src, '1', '*.jpg')))):
+            shutil.copy(f, os.path.join(subj, 'image', f'{i:06d}.jpg'))
+        for i, f in enumerate(sorted(globm.glob(
+                os.path.join(src, '1', '*.png')))):
+            shutil.copy(f, os.path.join(subj, 'mask', f'{i:06d}.png'))
+        with open(os.path.join(subj, 'camera.pkl'), 'wb') as f:
+            pickle.dump({'camera_f': [1000.0, 1000.0],
+                         'camera_c': [512.0, 512.0],
+                         'camera_k': np.zeros(5),
+                         'height': 1024, 'width': 1024}, f)
+        from arah_tpu.data.human_video import PeopleSnapshotDataset
+        ds = PeopleSnapshotDataset(
+            ps_root, smpl_misc_dir=misc_dir, subjects=('male-3-casual',),
+            mode='train', img_size=(128, 128), num_fg_samples=16,
+            num_bg_samples=16, erode_mask=False, seed=0)
+        assert len(ds) == 2
+        item = ds[0]
+        assert item['inputs'].shape == (32, 3)
+        # identity extrinsics: cam at origin
+        np.testing.assert_allclose(item['image.cam_loc'], 0.0, atol=1e-6)
