@@ -57,10 +57,12 @@ def train(cfg: dict, model_cfg, loss_w, optim_cfg, dataset, params,
           on_epoch_end: Callable | None = None,
           smpl_model=None, refine_smpl: bool = False,
           refine_cameras: bool = False):
-    """Run training; returns the final TrainState.
+    """Run training; returns (final TrainState, stopped_early).
 
     Resumes from `out_dir/checkpoints` when present (the reference's
-    `last.ckpt` + job-chaining contract, `train.py:103-135`).
+    `last.ckpt` + job-chaining contract, `train.py:103-135`);
+    `stopped_early` is True when `exit_after` fired (callers exit with
+    code 2 per the reference's timed-exit contract, `train.py:28-34`).
     """
     from arah_tpu.train.optim import make_optimizer
 
@@ -137,4 +139,4 @@ def train(cfg: dict, model_cfg, loss_w, optim_cfg, dataset, params,
             on_epoch_end(epoch, state)
 
     save(epoch + 1 if not stop else epoch)
-    return state
+    return state, stop

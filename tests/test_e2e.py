@@ -46,16 +46,17 @@ def test_train_eval_odp_cycle(workspace):
     params = init_model_params(jax.random.PRNGKey(0), model_cfg,
                                n_latent_frames=2)
     loss_w = LossWeights(n_ray_loss=128, inside=10.0, skinning=10.0)
-    state = train(cfg, model_cfg, loss_w, OptimConfig(lr=1e-4), dataset,
-                  params, max_epochs=1, pose_input_noise=True,
-                  view_input_noise=True)
+    state, stopped = train(cfg, model_cfg, loss_w, OptimConfig(lr=1e-4),
+                           dataset, params, max_epochs=1,
+                           pose_input_noise=True, view_input_noise=True)
+    assert not stopped
     assert int(state.step) == 2   # 2 frames, 1 epoch
     assert os.path.exists(os.path.join(out_dir, 'checkpoints', 'LAST'))
     assert os.path.exists(os.path.join(out_dir, 'metrics.tsv'))
 
     # resume: a second train() call must pick up the checkpoint
-    state2 = train(cfg, model_cfg, loss_w, OptimConfig(lr=1e-4), dataset,
-                   params, max_epochs=1)
+    state2, _ = train(cfg, model_cfg, loss_w, OptimConfig(lr=1e-4),
+                      dataset, params, max_epochs=1)
     assert int(state2.step) == 2   # already at epoch 1, no extra steps
 
     # full-image evaluation on a val item

@@ -64,7 +64,8 @@ def main():
         smpl_model = load_smpl_assets(
             cfg['data'].get('smpl_misc', 'body_models/misc'))
 
-    train(cfg, model_cfg, loss_w, optim_cfg, dataset, params, mesh=mesh,
+    _, stopped = train(
+          cfg, model_cfg, loss_w, optim_cfg, dataset, params, mesh=mesh,
           max_epochs=max_epochs, exit_after=args.exit_after,
           profile_dir=args.profile_dir,
           pose_input_noise=cfg['training'].get('pose_input_noise', False),
@@ -72,6 +73,9 @@ def main():
           nv_noise_type=cfg['training'].get('nv_noise_type', 'rotation'),
           seed=args.seed, smpl_model=smpl_model, refine_smpl=refine_smpl,
           refine_cameras=bool(cfg['model'].get('train_cameras')))
+    if stopped:
+        # reference timed-exit contract: exit code 2 signals "relaunch me"
+        raise SystemExit(2)
 
 
 if __name__ == '__main__':
