@@ -24,6 +24,13 @@ from arah_tpu.render.renderer import ModelConfig, RenderInputs, render
 from arah_tpu.utils import metrics as metrics_lib
 
 
+@partial(jax.jit, static_argnames=('cfg',))
+def _render_eval_chunk(params, cfg: ModelConfig, inp: RenderInputs, key):
+    out = render(params, cfg, inp, key, training=False)
+    return (out['rgb_values'], out['weights_sum'],
+            out['surface_depth'], out['surface_converged'])
+
+
 def render_frame_rays(params, cfg: ModelConfig, fd, item, latent,
                       chunk: int = 8192, key=None, mesh=None):
     """Render every sampled ray of an eval item; returns (rgb (N, 3),
@@ -50,17 +57,16 @@ def render_frame_rays(params, cfg: ModelConfig, fd, item, latent,
         pose_cond_extra['latent_code'] = latent[None]
         geo_latent = latent
 
-    @jax.jit
     def run_chunk(ray_d, near, far):
+        # module-level jit (static cfg) so the compiled executable is
+        # reused across frames and CLI invocations of the same config
         inp = RenderInputs(
             cam_loc=jnp.asarray(item['image.cam_loc']).reshape(3),
             ray_dirs=ray_d, near=near, far=far,
             frame=fd.frame, smpl=fd.smpl, rots=fd.rots, Jtrs=fd.Jtrs,
             rots_full=fd.rots_full, Jtrs_posed=fd.Jtrs_posed,
             pose_cond_extra=pose_cond_extra, geo_latent=geo_latent)
-        out = render(params, cfg, inp, key, training=False)
-        return (out['rgb_values'], out['weights_sum'],
-                out['surface_depth'], out['surface_converged'])
+        return _render_eval_chunk(params, cfg, inp, key)
 
     rgb = np.zeros((n, 3), np.float32)
     weights = np.zeros((n,), np.float32)

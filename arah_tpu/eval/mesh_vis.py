@@ -16,10 +16,29 @@ import numpy as np
 
 from arah_tpu import native
 from arah_tpu.core.body import unnormalize_canonical_points
+from arah_tpu.nn.siren import siren_apply
+from arah_tpu.nn.skinning import skinning_weights
 from arah_tpu.render.renderer import (ModelConfig, generate_sdf,
                                       make_sdf_fn, make_skin_fn)
 from arah_tpu.solver.root_find import forward_skinning
 from arah_tpu.utils.meshing import extract_mesh
+
+
+@jax.jit
+def _sdf_grid_chunk(gen, pts):
+    """Stable jit for grid evaluation (no per-frame retrace: the
+    generated weights are arguments, not closure captures)."""
+    return siren_apply(gen, pts)[..., 0]
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=('skin_cfg',))
+def _fwd_skin_chunk(skin_params, skin_cfg, frame, pts):
+    skin_fn = lambda x: skinning_weights(skin_params, skin_cfg, x)
+    xb, _ = forward_skinning(skin_fn, frame, pts)
+    return xb
 
 
 def face_normals(verts, faces):
@@ -41,21 +60,23 @@ def render_normal_maps(params, cfg: ModelConfig, fd, item, latent,
                        resolution: int = 256, img_size: int = 512):
     """Returns (posed_normal, cano_front, cano_back) images in [0, 1]."""
     gen = generate_sdf(params, cfg, fd.rots, fd.Jtrs, latent)
-    sdf_fn = make_sdf_fn(gen, stop_grad=True)
-    verts_n, faces = extract_mesh(lambda p: sdf_fn(p), resolution)
+    verts_n, faces = extract_mesh(
+        lambda p: _sdf_grid_chunk(jax.lax.stop_gradient(gen), p),
+        resolution)
     if len(verts_n) == 0:
         blank = np.zeros((img_size, img_size, 3), np.float32)
         return blank, blank, blank
 
     # canonical (metric) -> posed via the skinning network
-    skin_fn = make_skin_fn(params, cfg, stop_grad=True)
+    skin_params = jax.lax.stop_gradient(params['skinning'])
     verts_hat = unnormalize_canonical_points(
         jnp.asarray(verts_n), fd.frame.coord_min, fd.frame.coord_max,
         fd.frame.center)
     chunk = 100000
     posed = []
     for i in range(0, verts_hat.shape[0], chunk):
-        xb, _ = forward_skinning(skin_fn, fd.frame, verts_hat[i:i + chunk])
+        xb = _fwd_skin_chunk(skin_params, cfg.skinning, fd.frame,
+                             verts_hat[i:i + chunk])
         posed.append(np.asarray(xb))
     verts_posed = np.concatenate(posed, 0) + np.asarray(fd.frame.trans)
 

@@ -22,7 +22,11 @@ def eval_sdf_grid(sdf_fn, resolution: int = 256,
     grid = np.stack(np.meshgrid(lin, lin, lin, indexing='ij'),
                     axis=-1).reshape(-1, 3)
 
-    eval_chunk = jax.jit(lambda pts: sdf_fn(pts))
+    # NOTE: callers should pass an already-jitted sdf_fn whose jit cache
+    # is keyed on function identity stable across frames (see
+    # eval/mesh_vis.py); jitting a fresh closure here would retrace per
+    # frame.
+    eval_chunk = sdf_fn
     out = np.empty((grid.shape[0],), np.float32)
     for i in range(0, grid.shape[0], chunk):
         pts = jnp.asarray(grid[i:i + chunk])
