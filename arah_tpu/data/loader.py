@@ -152,3 +152,22 @@ class Prefetcher:
                 yield fut.result()
         finally:
             done.set()
+            # Drain so no worker touches the dataset after the consumer
+            # stops (early break / generator close): cancel queued work,
+            # let in-flight items finish inside the pool.
+            while not pending.empty():
+                fut = pending.get_nowait()
+                if fut is not None:
+                    fut.cancel()
+            t.join(timeout=5.0)
+
+    def close(self):
+        """Stop all workers; waits for in-flight items. Safe to call more
+        than once."""
+        self.pool.shutdown(wait=True, cancel_futures=True)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -115,22 +115,22 @@ def train(cfg: dict, model_cfg, loss_w, optim_cfg, dataset, params,
                                      view_input_noise, nv_noise_type)
             return collate_train_batch(items, noise)
 
-        prefetcher = Prefetcher(dataset, sampler, collate)
-        for batch in prefetcher:
-            step_i = int(state.step)
-            if profile_dir and step_i == 8:
-                jax.profiler.start_trace(profile_dir)
-            state, losses = step_fn(
-                state, batch, jax.random.fold_in(key, step_i))
-            logger.log(step_i, losses)
-            if profile_dir and step_i == 10:
-                jax.block_until_ready(losses['loss'])
-                jax.profiler.stop_trace()
-            if exit_after is not None \
-                    and time.time() - t_start > exit_after:
-                print('exit-after reached; checkpointing', flush=True)
-                stop = True
-                break
+        with Prefetcher(dataset, sampler, collate) as prefetcher:
+            for batch in prefetcher:
+                step_i = int(state.step)
+                if profile_dir and step_i == 8:
+                    jax.profiler.start_trace(profile_dir)
+                state, losses = step_fn(
+                    state, batch, jax.random.fold_in(key, step_i))
+                logger.log(step_i, losses)
+                if profile_dir and step_i == 10:
+                    jax.block_until_ready(losses['loss'])
+                    jax.profiler.stop_trace()
+                if exit_after is not None \
+                        and time.time() - t_start > exit_after:
+                    print('exit-after reached; checkpointing', flush=True)
+                    stop = True
+                    break
         if stop:
             break
         if (epoch + 1) % checkpoint_every_n_epochs == 0:
