@@ -122,12 +122,13 @@ def normals_from_depth(points_cam, image_mask):
 
 
 def evaluate_frame(params, cfg: ModelConfig, item, latent=None,
-                   chunk: int = 8192, lpips_fn=None):
+                   chunk: int = 8192, lpips_fn=None, mesh=None):
     """Validation-style metrics for one eval item. Returns dict with
-    psnr/ssim/lpips + rendered images."""
+    psnr/ssim/lpips + rendered images. With `mesh`, ray chunks are
+    sharded over its `data` axis (multi-chip eval)."""
     fd = frame_from_item(item)
     rgb, weights, depth, conv = render_frame_rays(
-        params, cfg, fd, item, latent, chunk=chunk)
+        params, cfg, fd, item, latent, chunk=chunk, mesh=mesh)
     image_mask = np.asarray(item['inputs.image_mask'])
     H = int(item['inputs.img_height'])
     W = int(item['inputs.img_width'])

@@ -28,6 +28,9 @@ def main():
     p.add_argument('--low-vram', action='store_true')
     p.add_argument('--chunk', type=int, default=4096)
     p.add_argument('--mesh-res', type=int, default=256)
+    p.add_argument('--devices', type=int, default=0,
+                   help='shard render ray chunks over the first N devices '
+                        '(0 = single device)')
     p.add_argument('--free-viewpoint', type=int, default=0,
                    help='render N spiral novel views of each frame '
                         '(reference gen_path)')
@@ -73,6 +76,13 @@ def main():
     vis_dir = os.path.join(cfg['training']['out_dir'], 'vis')
     os.makedirs(vis_dir, exist_ok=True)
 
+    mesh = None
+    if args.devices > 1:
+        from arah_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(args.devices)
+        args.chunk -= args.chunk % args.devices
+        print(f'sharded render over {args.devices} devices')
+
     spiral = None
     if args.free_viewpoint > 0:
         from arah_tpu.utils.camera_path import gen_spiral_path
@@ -101,7 +111,8 @@ def main():
             latent = params['latent'][-1]   # novel_seq fallback row
         fd = frame_from_item(item)
         rgb, weights, depth, conv = render_frame_rays(
-            params, model_cfg, fd, item, latent, chunk=args.chunk)
+            params, model_cfg, fd, item, latent, chunk=args.chunk,
+            mesh=mesh)
         image_mask = np.asarray(item['inputs.image_mask'])
         pred = scatter_image(rgb, image_mask)
         normal, front, back = render_normal_maps(

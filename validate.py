@@ -26,6 +26,9 @@ def main():
                         '(subsampling rate 1, reference validate.py:47-50)')
     p.add_argument('--chunk', type=int, default=4096)
     p.add_argument('--max-frames', type=int, default=-1)
+    p.add_argument('--devices', type=int, default=0,
+                   help='shard eval ray chunks over the first N devices '
+                        '(0 = single device)')
     args = p.parse_args()
 
     from arah_tpu.config import load_config, model_config_from_cfg
@@ -64,6 +67,14 @@ def main():
     out_dir = os.path.join(cfg['training']['out_dir'], 'val')
     os.makedirs(out_dir, exist_ok=True)
 
+    mesh = None
+    if args.devices > 1:
+        from arah_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(args.devices)
+        # chunks are split evenly over the data axis
+        args.chunk -= args.chunk % args.devices
+        print(f'sharded eval over {args.devices} devices')
+
     all_metrics = []
     n = len(dataset) if args.max_frames < 0 \
         else min(args.max_frames, len(dataset))
@@ -77,7 +88,7 @@ def main():
                 d_idx = params['latent'].shape[0] - 1
             latent = params['latent'][d_idx]
         m = evaluate_frame(params, model_cfg, item, latent,
-                           chunk=args.chunk)
+                           chunk=args.chunk, mesh=mesh)
         all_metrics.append({k: float(m[k])
                             for k in ('psnr', 'ssim', 'lpips')})
         save_image(os.path.join(out_dir, f'rgb_{i:06d}.png'), m['rgb_pred'])
