@@ -24,10 +24,12 @@ def _load():
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH):
+        src = os.path.join(_HERE, 'arahx.cpp')
+        if not os.path.exists(_LIB_PATH) \
+                or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src):
             subprocess.check_call(
                 ['g++', '-O3', '-fPIC', '-shared', '-std=c++17',
-                 '-o', _LIB_PATH, os.path.join(_HERE, 'arahx.cpp')])
+                 '-pthread', '-o', _LIB_PATH, src])
         lib = ctypes.CDLL(_LIB_PATH)
         c_float_p = ctypes.POINTER(ctypes.c_float)
         c_int_p = ctypes.POINTER(ctypes.c_int)

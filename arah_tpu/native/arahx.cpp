@@ -21,6 +21,7 @@
 #include <vector>
 #include <unordered_map>
 #include <algorithm>
+#include <thread>
 
 extern "C" {
 
@@ -218,50 +219,101 @@ void point_mesh_squared_distance(
           grid[((size_t)x * res + y) * res + z].push_back(f);
   }
 
-  for (int i = 0; i < n_points; ++i) {
-    const float* p = points + (size_t)i * 3;
-    double best = 1e30, best_bary[3] = {1, 0, 0};
-    int best_f = 0;
-    // expanding ring search around the point's cell
-    int cx[3];
-    for (int k = 0; k < 3; ++k) {
-      cx[k] = (int)std::floor((p[k] - bmin[k]) * inv[k]);
-      cx[k] = std::max(0, std::min(res - 1, cx[k]));
-    }
-    double min_cell = std::min(cell[0], std::min(cell[1], cell[2]));
-    for (int ring = 0; ring < res; ++ring) {
-      bool found_any = false;
-      int x0 = std::max(0, cx[0]-ring), x1 = std::min(res-1, cx[0]+ring);
-      int y0 = std::max(0, cx[1]-ring), y1 = std::min(res-1, cx[1]+ring);
-      int z0 = std::max(0, cx[2]-ring), z1 = std::min(res-1, cx[2]+ring);
-      for (int x = x0; x <= x1; ++x)
-        for (int y = y0; y <= y1; ++y)
-          for (int z = z0; z <= z1; ++z) {
-            // only the shell of the ring
-            if (ring > 0 && x != x0 && x != x1 && y != y0 && y != y1 &&
-                z != z0 && z != z1) continue;
-            for (int f : grid[((size_t)x * res + y) * res + z]) {
-              const float* a = verts + (size_t)faces[f*3+0]*3;
-              const float* b = verts + (size_t)faces[f*3+1]*3;
-              const float* c = verts + (size_t)faces[f*3+2]*3;
-              double bary[3];
-              double d = closest_on_tri(p, a, b, c, bary);
-              found_any = true;
-              if (d < best) {
-                best = d; best_f = f;
-                best_bary[0]=bary[0]; best_bary[1]=bary[1];
-                best_bary[2]=bary[2];
+  // Expanding-ring search per point with (a) exact cell-AABB distance
+  // pruning, (b) per-face dedup stamps (faces span multiple cells), and
+  // (c) an exact stop test: quit once no unsearched cell can beat `best`
+  // (distance from the point to the boundary of the searched region,
+  // ignoring region faces clamped to the domain edge, where no cells
+  // remain). Without (a)/(c), far-from-mesh query points degenerate to
+  // near-full-grid triangle scans.
+  auto worker = [&](int i_begin, int i_end) {
+    std::vector<int> stamp((size_t)n_faces, -1);
+    for (int i = i_begin; i < i_end; ++i) {
+      const float* p = points + (size_t)i * 3;
+      double best = 1e30, best_bary[3] = {1, 0, 0};
+      int best_f = 0;
+      int cx[3];
+      for (int k = 0; k < 3; ++k) {
+        cx[k] = (int)std::floor((p[k] - bmin[k]) * inv[k]);
+        cx[k] = std::max(0, std::min(res - 1, cx[k]));
+      }
+      for (int ring = 0; ring < res; ++ring) {
+        int x0 = std::max(0, cx[0]-ring), x1 = std::min(res-1, cx[0]+ring);
+        int y0 = std::max(0, cx[1]-ring), y1 = std::min(res-1, cx[1]+ring);
+        int z0 = std::max(0, cx[2]-ring), z1 = std::min(res-1, cx[2]+ring);
+        for (int x = x0; x <= x1; ++x)
+          for (int y = y0; y <= y1; ++y)
+            for (int z = z0; z <= z1; ++z) {
+              // only the shell of the ring
+              if (ring > 0 && x != x0 && x != x1 && y != y0 && y != y1 &&
+                  z != z0 && z != z1) continue;
+              const auto& faces_in = grid[((size_t)x * res + y) * res + z];
+              if (faces_in.empty()) continue;
+              // squared distance from p to this cell's AABB
+              double clo, d2 = 0;
+              clo = bmin[0] + x * cell[0];
+              double dx = std::max(std::max(clo - p[0],
+                                            p[0] - (clo + cell[0])), 0.0);
+              clo = bmin[1] + y * cell[1];
+              double dy = std::max(std::max(clo - p[1],
+                                            p[1] - (clo + cell[1])), 0.0);
+              clo = bmin[2] + z * cell[2];
+              double dz = std::max(std::max(clo - p[2],
+                                            p[2] - (clo + cell[2])), 0.0);
+              d2 = dx*dx + dy*dy + dz*dz;
+              if (d2 >= best) continue;
+              for (int f : faces_in) {
+                if (stamp[f] == i) continue;
+                stamp[f] = i;
+                const float* a = verts + (size_t)faces[f*3+0]*3;
+                const float* b = verts + (size_t)faces[f*3+1]*3;
+                const float* c = verts + (size_t)faces[f*3+2]*3;
+                double bary[3];
+                double d = closest_on_tri(p, a, b, c, bary);
+                if (d < best) {
+                  best = d; best_f = f;
+                  best_bary[0]=bary[0]; best_bary[1]=bary[1];
+                  best_bary[2]=bary[2];
+                }
               }
             }
-          }
-      // stop when the best distance is safely inside the searched radius
-      if (found_any && std::sqrt(best) < ring * min_cell) break;
+        // distance to the nearest unsearched cell: the searched region's
+        // boundary, skipping faces clamped to the domain edge
+        double stop = 1e30;
+        if (x0 > 0) stop = std::min(stop, p[0] - (bmin[0] + x0*cell[0]));
+        if (x1 < res-1)
+          stop = std::min(stop, (bmin[0] + (x1+1)*cell[0]) - p[0]);
+        if (y0 > 0) stop = std::min(stop, p[1] - (bmin[1] + y0*cell[1]));
+        if (y1 < res-1)
+          stop = std::min(stop, (bmin[1] + (y1+1)*cell[1]) - p[1]);
+        if (z0 > 0) stop = std::min(stop, p[2] - (bmin[2] + z0*cell[2]));
+        if (z1 < res-1)
+          stop = std::min(stop, (bmin[2] + (z1+1)*cell[2]) - p[2]);
+        stop = std::max(stop, 0.0);
+        if (best <= stop * stop) break;
+      }
+      sq_dist[i] = (float)best;
+      face_idx[i] = best_f;
+      bary_out[i*3+0] = (float)best_bary[0];
+      bary_out[i*3+1] = (float)best_bary[1];
+      bary_out[i*3+2] = (float)best_bary[2];
     }
-    sq_dist[i] = (float)best;
-    face_idx[i] = best_f;
-    bary_out[i*3+0] = (float)best_bary[0];
-    bary_out[i*3+1] = (float)best_bary[1];
-    bary_out[i*3+2] = (float)best_bary[2];
+  };
+
+  int n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads < 1) n_threads = 1;
+  n_threads = std::min(n_threads, std::max(1, n_points / 256));
+  if (n_threads <= 1) {
+    worker(0, n_points);
+  } else {
+    std::vector<std::thread> pool;
+    int per = (n_points + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+      int lo = t * per, hi = std::min(n_points, lo + per);
+      if (lo >= hi) break;
+      pool.emplace_back(worker, lo, hi);
+    }
+    for (auto& th : pool) th.join();
   }
 }
 
