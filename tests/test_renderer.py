@@ -88,6 +88,26 @@ class TestRenderEval:
         _, _, inp, hit = make_inputs(cfg, rng)
         assert np.asarray(hit).all()
 
+    def test_chunked_trace_matches_dense(self, rng):
+        """trace_chunk (per-ray-chunk early-exit while_loop) must not
+        change eval results vs the dense fori_loop path."""
+        cfg = small_config()
+        params, fd, inp, _ = make_inputs(cfg, rng, n_rays=96)
+        cfg_chunked = cfg._replace(
+            tracer=cfg.tracer._replace(trace_chunk=32))
+        cfg_dense = cfg._replace(
+            tracer=cfg.tracer._replace(trace_chunk=0))
+        key = jax.random.PRNGKey(1)
+        out_c = jax.jit(lambda p, i: render(p, cfg_chunked, i, key,
+                                            training=False))(params, inp)
+        out_d = jax.jit(lambda p, i: render(p, cfg_dense, i, key,
+                                            training=False))(params, inp)
+        for k in ('rgb_values', 'weights_sum', 'surface_depth',
+                  'surface_converged'):
+            np.testing.assert_allclose(np.asarray(out_c[k]),
+                                       np.asarray(out_d[k]),
+                                       rtol=1e-5, atol=1e-5, err_msg=k)
+
 
 class TestRenderTrain:
     @pytest.mark.parametrize('train_skinning', [False, True])
