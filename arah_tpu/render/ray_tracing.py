@@ -125,17 +125,16 @@ def sphere_trace(cfg: RayTracerConfig, sdf_fn: Callable, skin_fn: Callable,
             unfinished = c.unfinished & ~remove
             return Carry(t, unfinished, diverged, x_norm_new, T_new)
 
-        if eval_mode:
-            # early exit once every ray in this block converged/diverged
-            def cond(ic):
-                i, c = ic
-                return (i < cfg.sphere_tracing_iters) \
-                    & jnp.any(c.unfinished)
-            _, c = jax.lax.while_loop(
-                cond, lambda ic: (ic[0] + 1, body(ic[1])), (0, carry))
-        else:
-            c = jax.lax.fori_loop(0, cfg.sphere_tracing_iters,
-                                  lambda _, cc: body(cc), carry)
+        # early exit once every ray in this block converged/diverged —
+        # the loop body is a no-op on finished rays, so this is value-
+        # identical to the fixed-iteration loop. The tracer runs under
+        # stop_gradient in training too, so the while_loop is never on
+        # the reverse-mode path.
+        def cond(ic):
+            i, c = ic
+            return (i < cfg.sphere_tracing_iters) & jnp.any(c.unfinished)
+        _, c = jax.lax.while_loop(
+            cond, lambda ic: (ic[0] + 1, body(ic[1])), (0, carry))
 
         # Joint root-finding refinement of (canonical point, depth).
         x_hat = unnormalize_canonical_points(
