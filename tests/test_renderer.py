@@ -110,6 +110,31 @@ class TestRenderEval:
 
 
 class TestRenderTrain:
+    def test_chunked_corr_matches_dense_with_grads(self, rng):
+        """Train-mode corr chunking (lax.map Broyden) must leave loss AND
+        gradients unchanged vs the dense solve (the solver is
+        stop-gradded; only fusion order may differ)."""
+        cfg = small_config()
+        params, fd, inp, _ = make_inputs(cfg, rng, n_rays=24, training=True)
+
+        def loss_fn(p, c):
+            out = render(p, c, inp, jax.random.PRNGKey(2), training=True)
+            return jnp.sum(out['rgb_values']) + jnp.sum(out['weights_sum'])
+
+        # 24 rays x 16 samples = 384 points; chunk 128 divides it
+        cfg_c = cfg._replace(tracer=cfg.tracer._replace(corr_chunk=128))
+        cfg_d = cfg._replace(tracer=cfg.tracer._replace(corr_chunk=0))
+        lc, gc = jax.jit(jax.value_and_grad(loss_fn),
+                         static_argnums=1)(params, cfg_c)
+        ld, gd = jax.jit(jax.value_and_grad(loss_fn),
+                         static_argnums=1)(params, cfg_d)
+        np.testing.assert_allclose(float(lc), float(ld), rtol=1e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+            gc, gd)
+
+
     @pytest.mark.parametrize('train_skinning', [False, True])
     def test_gradients_flow(self, rng, train_skinning):
         cfg = small_config(train_skinning=train_skinning)
