@@ -32,7 +32,7 @@ def _render_eval_chunk(params, cfg: ModelConfig, inp: RenderInputs, key):
 
 
 def render_frame_rays(params, cfg: ModelConfig, fd, item, latent,
-                      chunk: int = 8192, key=None, mesh=None):
+                      chunk: int = 16384, key=None, mesh=None):
     """Render every sampled ray of an eval item; returns (rgb (N, 3),
     weights (N,), depth (N,), converged (N,)).
 
@@ -122,7 +122,7 @@ def normals_from_depth(points_cam, image_mask):
 
 
 def evaluate_frame(params, cfg: ModelConfig, item, latent=None,
-                   chunk: int = 8192, lpips_fn=None, mesh=None):
+                   chunk: int = 16384, lpips_fn=None, mesh=None):
     """Validation-style metrics for one eval item. Returns dict with
     psnr/ssim/lpips + rendered images. With `mesh`, ray chunks are
     sharded over its `data` axis (multi-chip eval)."""
