@@ -40,7 +40,7 @@ def write_smpl_misc(misc_dir: str, model: SmplModel):
 
 
 def _camera(angle_deg: float, dist: float = 2.8, height: float = 0.0,
-            f: float = 1000.0, c: float = 512.0):
+            f: float = 1000.0, c: float = 512.0, cy: float | None = None):
     th = np.deg2rad(angle_deg)
     # camera position on a circle, looking at the origin
     pos = np.array([dist * np.sin(th), height, -dist * np.cos(th)])
@@ -51,8 +51,49 @@ def _camera(angle_deg: float, dist: float = 2.8, height: float = 0.0,
     up2 = np.cross(fwd, right)
     R = np.stack([right, up2, fwd], axis=0)     # w2c rotation
     T = -R @ pos
-    K = np.array([[f, 0, c], [0, f, c], [0, 0, 1.0]])
+    K = np.array([[f, 0, c], [0, f, c if cy is None else cy], [0, 0, 1.0]])
     return K, R, T
+
+
+def _write_frames(model: SmplModel, rng, n_frames, cams, img_hw,
+                  model_dir, img_path, mask_path,
+                  trans=np.zeros(3, np.float32)):
+    """Write models/*.npz + rasterized silhouette jpg/png per view.
+    cams: {name: (K, R, T)}; img_hw: (H, W); img_path/mask_path:
+    (cam_name, frame_idx) -> file path."""
+    os.makedirs(model_dir, exist_ok=True)
+    faces = np.asarray(model.faces)
+    H, W = img_hw
+    for fidx in range(n_frames):
+        betas = (rng.randn(10) * 0.2).astype(np.float32)
+        pose = (rng.randn(72) * 0.15).astype(np.float32)
+        out = lbs(model, jnp.asarray(betas)[None], jnp.asarray(pose)[None])
+        v_shaped = np.asarray(model.v_template) + np.einsum(
+            'l,mkl->mk', betas, np.asarray(model.shapedirs))
+        np.savez(os.path.join(model_dir, f'{fidx:06d}.npz'),
+                 minimal_shape=v_shaped.astype(np.float32),
+                 betas=betas,
+                 trans=trans.astype(np.float32),
+                 root_orient=pose[:3], pose_body=pose[3:66],
+                 pose_hand=pose[66:],
+                 Jtr_posed=np.asarray(out.joints_posed[0]) + trans,
+                 bone_transforms=np.asarray(out.rel_transforms[0]))
+
+        verts_world = np.asarray(out.verts[0]) + trans
+        for v, (K, R, T) in cams.items():
+            pc = verts_world @ R.T + T
+            depth = pc[:, 2]
+            proj = pc[:, :2] / np.maximum(depth[:, None], 1e-6)
+            proj = proj * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]
+            face_buf, _, _ = native.rasterize_mesh(proj, depth, faces,
+                                                   H, W)
+            sil = (face_buf >= 0).astype(np.uint8)
+            img = np.zeros((H, W, 3), np.uint8)
+            img[sil > 0] = (180, 120, 90)
+            for p in (img_path(v, fidx), mask_path(v, fidx)):
+                os.makedirs(os.path.dirname(p), exist_ok=True)
+            cv2.imwrite(img_path(v, fidx), img)
+            cv2.imwrite(mask_path(v, fidx), sil * 255)
 
 
 def make_fake_zju_dataset(root: str, subject='CoreView_313', n_frames=2,
@@ -77,39 +118,77 @@ def make_fake_zju_dataset(root: str, subject='CoreView_313', n_frames=2,
         cam_params[v] = {'K': K.tolist(), 'R': R.tolist(),
                          'T': T.tolist(), 'D': [0, 0, 0, 0, 0]}
         cams[v] = (K, R, T)
-        os.makedirs(os.path.join(sdir, v), exist_ok=True)
 
-    faces = np.asarray(model.faces)
-    for fidx in range(n_frames):
-        betas = (rng.randn(10) * 0.2).astype(np.float32)
-        pose = (rng.randn(72) * 0.15).astype(np.float32)
-        trans = np.array([0.0, 0.0, 0.0], np.float32)
-        out = lbs(model, jnp.asarray(betas)[None], jnp.asarray(pose)[None])
-        v_shaped = np.asarray(model.v_template) + np.einsum(
-            'l,mkl->mk', betas, np.asarray(model.shapedirs))
-        np.savez(os.path.join(sdir, 'models', f'{fidx:06d}.npz'),
-                 minimal_shape=v_shaped.astype(np.float32),
-                 betas=betas,
-                 trans=trans,
-                 root_orient=pose[:3], pose_body=pose[3:66],
-                 pose_hand=pose[66:],
-                 Jtr_posed=np.asarray(out.joints_posed[0]) + trans,
-                 bone_transforms=np.asarray(out.rel_transforms[0]))
-
-        verts_world = np.asarray(out.verts[0]) + trans
-        for v in views:
-            K, R, T = cams[v]
-            pc = verts_world @ R.T + T
-            depth = pc[:, 2]
-            proj = pc[:, :2] / np.maximum(depth[:, None], 1e-6)
-            proj = proj * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]
-            face_buf, _, _ = native.rasterize_mesh(
-                proj, depth, faces, img_size, img_size)
-            sil = (face_buf >= 0).astype(np.uint8)
-            img = np.zeros((img_size, img_size, 3), np.uint8)
-            img[sil > 0] = (180, 120, 90)
-            cv2.imwrite(os.path.join(sdir, v, f'{fidx:06d}.jpg'), img)
-            cv2.imwrite(os.path.join(sdir, v, f'{fidx:06d}.png'), sil * 255)
+    _write_frames(
+        model, rng, n_frames, cams, (img_size, img_size),
+        os.path.join(sdir, 'models'),
+        lambda v, f: os.path.join(sdir, v, f'{f:06d}.jpg'),
+        lambda v, f: os.path.join(sdir, v, f'{f:06d}.png'))
     with open(os.path.join(sdir, 'cam_params.json'), 'w') as f:
         json.dump(cam_params, f)
+    return misc_dir, model
+
+
+def make_fake_h36m_dataset(root: str, subject='S9', n_frames=2,
+                           views=('1', '2'), n_verts=1024, seed=0):
+    """H36M (Animatable-NeRF) layout: everything under {subject}/Posing/,
+    intrinsics expressed at the native (1002, 1000) resolution
+    (data/human_video.py H36MDataset). Returns (misc_dir, model)."""
+    rng = np.random.RandomState(seed)
+    model = synthetic_smpl(n_verts=n_verts, seed=seed)
+    misc_dir = os.path.join(root, 'body_models', 'misc')
+    write_smpl_misc(misc_dir, model)
+
+    sdir = os.path.join(root, subject, 'Posing')
+    H, W = 1002, 1000
+    cam_params = {'all_cam_names': list(views)}
+    cams = {}
+    for i, v in enumerate(views):
+        K, R, T = _camera(360.0 * i / max(len(views), 1),
+                          c=W / 2, cy=H / 2)
+        cam_params[v] = {'K': K.tolist(), 'R': R.tolist(),
+                         'T': T.tolist(), 'D': [0, 0, 0, 0, 0]}
+        cams[v] = (K, R, T)
+
+    _write_frames(
+        model, rng, n_frames, cams, (H, W),
+        os.path.join(sdir, 'models'),
+        lambda v, f: os.path.join(sdir, v, f'{f:06d}.jpg'),
+        lambda v, f: os.path.join(sdir, v, f'{f:06d}.png'))
+    os.makedirs(sdir, exist_ok=True)
+    with open(os.path.join(sdir, 'cam_params.json'), 'w') as f:
+        json.dump(cam_params, f)
+    return misc_dir, model
+
+
+def make_fake_snapshot_dataset(root: str, subject='female-3-casual',
+                               n_frames=2, img_size=512, n_verts=1024,
+                               seed=0):
+    """People-Snapshot layout: monocular `camera.pkl` (camera_f/c/k,
+    R = I, T = 0), `image/*.jpg`, `mask/*.png`, `models/*.npz`
+    (data/human_video.py PeopleSnapshotDataset). The body is translated
+    in front of the identity camera. Returns (misc_dir, model)."""
+    import pickle
+    rng = np.random.RandomState(seed)
+    model = synthetic_smpl(n_verts=n_verts, seed=seed)
+    misc_dir = os.path.join(root, 'body_models', 'misc')
+    write_smpl_misc(misc_dir, model)
+
+    sdir = os.path.join(root, subject)
+    os.makedirs(sdir, exist_ok=True)
+    f = 1000.0
+    c = img_size / 2.0
+    with open(os.path.join(sdir, 'camera.pkl'), 'wb') as fh:
+        pickle.dump({'camera_f': np.array([f, f]),
+                     'camera_c': np.array([c, c]),
+                     'camera_k': np.zeros(5)}, fh)
+    K = np.array([[f, 0, c], [0, f, c], [0, 0, 1.0]])
+    cams = {'0': (K, np.eye(3), np.zeros(3))}
+
+    _write_frames(
+        model, rng, n_frames, cams, (img_size, img_size),
+        os.path.join(sdir, 'models'),
+        lambda v, fi: os.path.join(sdir, 'image', f'{fi:06d}.jpg'),
+        lambda v, fi: os.path.join(sdir, 'mask', f'{fi:06d}.png'),
+        trans=np.array([0.0, 0.0, 2.8], np.float32))
     return misc_dir, model

@@ -158,6 +158,32 @@ class TestFactoryAndH36M:
         assert np.isfinite(item['image.K']).all()
 
 
+    def test_h36m_fixture_e2e(self, tmp_path):
+        """Geometrically-consistent fake H36M dataset: fg rays must hit
+        the silhouette and bounds must be valid."""
+        from arah_tpu.data.fake_dataset import make_fake_h36m_dataset
+        from arah_tpu.data.human_video import H36MDataset
+        root = str(tmp_path / 'fake_h36m')
+        misc_dir, _ = make_fake_h36m_dataset(root, n_frames=2,
+                                             views=('1', '2'), n_verts=512)
+        ds = H36MDataset(root, smpl_misc_dir=misc_dir, subjects=('S9',),
+                         mode='train', img_size=(128, 128),
+                         num_fg_samples=64, num_bg_samples=64,
+                         erode_mask=False, seed=0)
+        assert len(ds) == 4
+        item = ds[0]
+        assert item['inputs.mask'][:64].mean() > 0.9
+        nf = item['inputs.body_bounds_intersections']
+        assert (nf[:, 0] < nf[:, 1]).all()
+        fd = frame_from_item(item)
+        assert np.isfinite(np.asarray(fd.frame.bone_transforms)).all()
+        val = H36MDataset(root, smpl_misc_dir=misc_dir, subjects=('S9',),
+                          mode='val', img_size=(128, 128),
+                          erode_mask=False, seed=0, views=('1',))
+        v_item = val[0]
+        assert v_item['inputs.image_mask'].sum() == v_item['inputs'].shape[0]
+
+
 class TestPeopleSnapshot:
     def test_ps_layout(self, fake_root, tmp_path):
         """People-Snapshot subclass reads camera.pkl + image/ + mask/."""
@@ -191,3 +217,25 @@ class TestPeopleSnapshot:
         assert item['inputs'].shape == (32, 3)
         # identity extrinsics: cam at origin
         np.testing.assert_allclose(item['image.cam_loc'], 0.0, atol=1e-6)
+
+    def test_ps_fixture_e2e(self, tmp_path):
+        """Geometrically-consistent fake People-Snapshot dataset (body in
+        front of the identity camera)."""
+        from arah_tpu.data.fake_dataset import make_fake_snapshot_dataset
+        from arah_tpu.data.human_video import PeopleSnapshotDataset
+        root = str(tmp_path / 'fake_ps')
+        misc_dir, _ = make_fake_snapshot_dataset(root, n_frames=2,
+                                                 n_verts=512)
+        ds = PeopleSnapshotDataset(
+            root, smpl_misc_dir=misc_dir, subjects=('female-3-casual',),
+            mode='train', img_size=(128, 128), num_fg_samples=64,
+            num_bg_samples=64, erode_mask=False, seed=0)
+        assert len(ds) == 2
+        item = ds[0]
+        assert item['inputs.mask'][:64].mean() > 0.9
+        nf = item['inputs.body_bounds_intersections']
+        assert (nf[:, 0] < nf[:, 1]).all()
+        # the translated body must sit in front of the camera
+        assert float(np.asarray(item['image.trans'])[2]) > 1.0
+        fd = frame_from_item(item)
+        assert np.isfinite(np.asarray(fd.smpl.verts_posed)).all()
