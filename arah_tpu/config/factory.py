@@ -22,8 +22,21 @@ def get_dataset(mode: str, cfg: dict, view_split=None, subsampling_rate=None,
     end = end_frame if end_frame is not None \
         else d.get(f'{mode}_end_frame', -1)
 
+    # image resolution: reference policy (`im2mesh/config.py:150-200`) —
+    # fixed per dataset type, `high_res` doubles it for training only;
+    # `data.img_size` is an arah_tpu extension for explicit overrides
+    # (e.g. the fake-fixture demo configs).
+    img_size = d.get('img_size')
+    if img_size is None:
+        hi = bool(d.get('high_res')) and mode == 'train'
+        img_size = {
+            'people_snapshot': (1080, 1080) if hi else (540, 540),
+            'h36m': (1002, 1000),
+        }.get(dataset_type, (1024, 1024) if hi else (512, 512))
+
     common = dict(
         smpl_misc_dir=d.get('smpl_misc', 'body_models/misc'),
+        img_size=tuple(img_size),
         subjects=tuple(splits), mode=mode,
         num_fg_samples=d.get('num_fg_samples', 1024),
         num_bg_samples=d.get('num_bg_samples', 1024),

@@ -192,3 +192,34 @@ def make_fake_snapshot_dataset(root: str, subject='female-3-casual',
         lambda v, fi: os.path.join(sdir, 'mask', f'{fi:06d}.png'),
         trans=np.array([0.0, 0.0, 2.8], np.float32))
     return misc_dir, model
+
+
+if __name__ == '__main__':
+    import argparse
+    import jax
+    # host-side data generation; never claim (or wait on) an accelerator
+    jax.config.update('jax_platforms', 'cpu')
+    p = argparse.ArgumentParser(
+        description='Generate an on-disk fake dataset (see configs/fake/)')
+    p.add_argument('--root', default='data/fake_zju')
+    p.add_argument('--layout', choices=('zju', 'h36m', 'snapshot'),
+                   default='zju')
+    p.add_argument('--frames', type=int, default=8)
+    p.add_argument('--views', default='1,7')
+    p.add_argument('--verts', type=int, default=1024)
+    p.add_argument('--seed', type=int, default=0)
+    args = p.parse_args()
+    views = tuple(args.views.split(','))
+    if args.layout == 'zju':
+        misc, _ = make_fake_zju_dataset(args.root, n_frames=args.frames,
+                                        views=views, n_verts=args.verts,
+                                        seed=args.seed)
+    elif args.layout == 'h36m':
+        misc, _ = make_fake_h36m_dataset(args.root, n_frames=args.frames,
+                                         views=views, n_verts=args.verts,
+                                         seed=args.seed)
+    else:
+        misc, _ = make_fake_snapshot_dataset(
+            args.root, n_frames=args.frames, n_verts=args.verts,
+            seed=args.seed)
+    print(f'wrote {args.layout} fixture under {args.root} (misc: {misc})')

@@ -47,6 +47,11 @@ def render_frame_rays(params, cfg: ModelConfig, fd, item, latent,
         from jax.sharding import NamedSharding, PartitionSpec as P
         shard = NamedSharding(mesh, P('data'))
         rep = NamedSharding(mesh, P())
+        # params/frame state may be committed to a single device (e.g.
+        # restored from a checkpoint); replicate them over the mesh so
+        # they are compatible with the sharded ray arrays
+        params = jax.device_put(params, rep)
+        fd = jax.device_put(fd, rep)
     rays = np.asarray(item['inputs.ray_dirs'])
     bounds = np.asarray(item['inputs.body_bounds_intersections'])
     n = rays.shape[0]
@@ -56,12 +61,17 @@ def render_frame_rays(params, cfg: ModelConfig, fd, item, latent,
     if latent is not None:
         pose_cond_extra['latent_code'] = latent[None]
         geo_latent = latent
+    cam_loc = jnp.asarray(item['image.cam_loc']).reshape(3)
+    if rep is not None:
+        # every non-ray leaf must be replicated over the mesh
+        cam_loc, pose_cond_extra, geo_latent = jax.device_put(
+            (cam_loc, pose_cond_extra, geo_latent), rep)
 
     def run_chunk(ray_d, near, far):
         # module-level jit (static cfg) so the compiled executable is
         # reused across frames and CLI invocations of the same config
         inp = RenderInputs(
-            cam_loc=jnp.asarray(item['image.cam_loc']).reshape(3),
+            cam_loc=cam_loc,
             ray_dirs=ray_d, near=near, far=far,
             frame=fd.frame, smpl=fd.smpl, rots=fd.rots, Jtrs=fd.Jtrs,
             rots_full=fd.rots_full, Jtrs_posed=fd.Jtrs_posed,
@@ -157,9 +167,12 @@ def evaluate_frame(params, cfg: ModelConfig, item, latent=None,
     return out
 
 
+def _to_u8(img):
+    return (np.clip(np.nan_to_num(img), 0, 1) * 255).astype(np.uint8)
+
+
 def save_image(path, img):
-    cv2.imwrite(path, cv2.cvtColor(
-        (np.clip(img, 0, 1) * 255).astype(np.uint8), cv2.COLOR_RGB2BGR))
+    cv2.imwrite(path, cv2.cvtColor(_to_u8(img), cv2.COLOR_RGB2BGR))
 
 
 def write_video(path, frames, fps: int = 20):
@@ -170,6 +183,5 @@ def write_video(path, frames, fps: int = 20):
     vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*'mp4v'), fps,
                          (w, h))
     for f in frames:
-        vw.write(cv2.cvtColor((np.clip(f, 0, 1) * 255).astype(np.uint8),
-                              cv2.COLOR_RGB2BGR))
+        vw.write(cv2.cvtColor(_to_u8(f), cv2.COLOR_RGB2BGR))
     vw.release()
