@@ -162,8 +162,15 @@ def shade_samples(params, cfg: ModelConfig, gen: GeneratedMLP,
         out, feat = siren_apply(gen, p[None], return_features=True)
         return out[0, 0], (out[0, 0], feat[0])
 
-    grads, (sdf_norm, feats) = jax.vmap(
-        jax.jacfwd(sdf_feat, has_aux=True))(flat_p)
+    if training:
+        grads, (sdf_norm, feats) = jax.vmap(
+            jax.jacfwd(sdf_feat, has_aux=True))(flat_p)
+    else:
+        # eval has no outer autodiff, so plain reverse mode is safe and
+        # computes the 3-d input gradient with ONE cotangent pass instead
+        # of three forward tangents (identical values)
+        grads, (sdf_norm, feats) = jax.vmap(
+            jax.grad(sdf_feat, has_aux=True))(flat_p)
     normal = grads
     if not cfg.cano_view_dirs:
         normal = jnp.einsum('nab,nb->na', flat_T[:, :3, :3], normal)
