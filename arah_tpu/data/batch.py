@@ -20,33 +20,87 @@ def identity_noise(n_blocks: int):
     )
 
 
-def sample_noise(key, n_blocks: int, pose_noise: bool, view_noise: bool,
-                 nv_noise_type: str = 'rotation'):
-    """Training-time pose/view augmentation, mirroring
-    `models/__init__.py:157-174`: applied with probability 0.5 per step,
-    std-0.1 gaussians on rotations, +/-45deg random view rotation."""
-    from arah_tpu.core.body import rotation_z
-    ks = jax.random.split(key, 5)
-    apply = jax.random.uniform(ks[0]) <= 0.5
-    out = identity_noise(n_blocks)
+def identity_noise_np(n_blocks: int, n_rays: int | None = None,
+                      nv_noise_type: str = 'rotation'):
+    """Host-side (numpy) no-op augmentation. For `nv_noise_type='gaussian'`
+    the view-noise field is per-ray additive (B, R, 3) so its shape stays
+    static across applied/identity steps (no recompiles)."""
+    if nv_noise_type == 'gaussian':
+        assert n_rays is not None, 'gaussian view noise needs n_rays'
+        view = np.zeros((n_blocks, n_rays, 3), np.float32)
+    else:
+        view = np.broadcast_to(np.eye(3, dtype=np.float32),
+                               (n_blocks, 3, 3)).copy()
+    return dict(
+        rots_noise=np.zeros((n_blocks, 24, 9), np.float32),
+        view_noise=view,
+        rot_noise=np.zeros((n_blocks, 1, 9), np.float32),
+        trans_noise=np.zeros((n_blocks, 1, 3), np.float32),
+    )
+
+
+def augm_rots(rng: np.random.RandomState, roll_range: float = 45,
+              pitch_range: float = 45, yaw_range: float = 45) -> np.ndarray:
+    """Random view-rotation augmentation, reproducing the reference's
+    clipped-Euler sampling exactly (`utils/utils.py:183-230`): roll/yaw ~
+    clip(randn*range, +-2*range) degrees, pitch ~ rand()*range degrees
+    (uniform — the reference uses `np.random.rand` for pitch), composed as
+    Rx @ Ry @ Rz."""
+    deg = np.pi / 180.0
+    rx = min(2 * roll_range, max(-2 * roll_range,
+                                 rng.randn() * roll_range))
+    sn, cs = np.sin(deg * rx), np.cos(deg * rx)
+    rot_x = np.eye(3)
+    rot_x[1, 1] = cs; rot_x[1, 2] = -sn
+    rot_x[2, 1] = sn; rot_x[2, 2] = cs
+
+    ry = min(2 * pitch_range, max(-2 * pitch_range,
+                                  rng.rand() * pitch_range))
+    sn, cs = np.sin(deg * ry), np.cos(deg * ry)
+    rot_y = np.eye(3)
+    rot_y[0, 0] = cs; rot_y[0, 2] = sn
+    rot_y[2, 0] = -sn; rot_y[2, 2] = cs
+
+    rz = min(2 * yaw_range, max(-2 * yaw_range, rng.randn() * yaw_range))
+    sn, cs = np.sin(deg * rz), np.cos(deg * rz)
+    rot_z = np.eye(3)
+    rot_z[0, 0] = cs; rot_z[0, 1] = -sn
+    rot_z[1, 0] = sn; rot_z[1, 1] = cs
+    return (rot_x @ rot_y @ rot_z).astype(np.float32)
+
+
+def sample_noise(rng: np.random.RandomState, n_blocks: int,
+                 pose_noise: bool, view_noise: bool,
+                 nv_noise_type: str = 'rotation',
+                 n_rays: int | None = None):
+    """Training-time pose/view augmentation on host (numpy — safe to run
+    in prefetch workers), mirroring `models/__init__.py:157-174`: applied
+    with probability 0.5 per step; std-0.1 gaussians on rotation matrices
+    and root pose; view noise either one shared clipped-Euler rotation
+    ('rotation', `augm_rots(45,45,45)`) or additive per-ray N(0, 0.1)
+    ('gaussian', ref `models/__init__.py:168`)."""
+    out = identity_noise_np(n_blocks, n_rays, nv_noise_type)
+    if rng.uniform() > 0.5:
+        return out
     if pose_noise:
-        out['rots_noise'] = jnp.where(
-            apply, jax.random.normal(ks[1], (n_blocks, 24, 9)) * 0.1, 0.0)
-        out['rot_noise'] = jnp.where(
-            apply, jax.random.normal(ks[2], (n_blocks, 1, 9)) * 0.1, 0.0)
-        out['trans_noise'] = jnp.where(
-            apply, jax.random.normal(ks[3], (n_blocks, 1, 3)) * 0.1, 0.0)
-    if view_noise and nv_noise_type == 'rotation':
-        # one random small rotation per block (host-side numpy in the real
-        # pipeline; here a first-order approximation via random axis-angle)
-        aa = jax.random.normal(ks[4], (n_blocks, 3)) * (45.0 * np.pi / 180)
-        from arah_tpu.core.smpl import batch_rodrigues
-        R = batch_rodrigues(aa)
-        out['view_noise'] = jnp.where(apply, R, jnp.eye(3))
-    elif view_noise:
-        out['view_noise'] = jnp.where(
-            apply, jnp.eye(3) + jax.random.normal(
-                ks[4], (n_blocks, 3, 3)) * 0.0, jnp.eye(3))
+        out['rots_noise'] = rng.normal(
+            0, 0.1, (n_blocks, 24, 9)).astype(np.float32)
+        out['rot_noise'] = rng.normal(
+            0, 0.1, (n_blocks, 1, 9)).astype(np.float32)
+        out['trans_noise'] = rng.normal(
+            0, 0.1, (n_blocks, 1, 3)).astype(np.float32)
+    if view_noise:
+        if nv_noise_type == 'gaussian':
+            out['view_noise'] = rng.normal(
+                0, 0.1, (n_blocks, n_rays, 3)).astype(np.float32)
+        elif nv_noise_type == 'rotation':
+            # ONE rotation shared by every block, as in the reference
+            # (`models/__init__.py:170`: a single (1, 3, 3) broadcast)
+            R = augm_rots(rng, 45, 45, 45)
+            out['view_noise'] = np.broadcast_to(
+                R, (n_blocks, 3, 3)).copy()
+        else:
+            raise ValueError(f'unknown nv_noise_type {nv_noise_type!r}')
     return out
 
 
