@@ -39,6 +39,50 @@ def global_mesh(axis: str = 'data'):
     return Mesh(np.asarray(jax.devices()), (axis,))
 
 
+def is_multiprocess() -> bool:
+    return jax.process_count() > 1
+
+
+def replicate_over_mesh(tree, mesh):
+    """Host-local pytree -> fully-replicated global arrays over `mesh`.
+
+    Works in both single- and multi-process runtimes (every process must
+    hold the identical value — true for params/opt state built from the
+    same seed or restored from the same checkpoint)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    rep = NamedSharding(mesh, P())
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(rep, x)
+
+    return jax.tree.map(put, tree)
+
+
+def make_global_batch(mesh, batch, axis: str = 'data'):
+    """Per-process local numpy TrainBatch -> globally-sharded device batch.
+
+    Per-block fields are sharded over `axis` (each process contributes the
+    blocks for its own devices — the multi-host analog of DDP's per-rank
+    batch, `/root/reference/train.py:124-133`); frame-level state and the
+    latent index are replicated (identical on every process because the
+    frame sampler iterates the same frame order with a shared seed)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from arah_tpu.parallel.train_step import N_PER_BLOCK_FIELDS
+    shard = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+
+    def put(x, sharding):
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(x))
+
+    per_block = {f: put(getattr(batch, f), shard)
+                 for f in batch._fields[:N_PER_BLOCK_FIELDS]}
+    frame = jax.tree.map(lambda x: put(x, rep), batch.frame)
+    return batch._replace(**per_block, frame=frame,
+                          latent_idx=put(batch.latent_idx, rep))
+
+
 def gather_metrics(local_metrics: dict, mesh, axis: str = 'data'):
     """Mean-reduce scalar metrics across the mesh (eval aggregation)."""
     import jax.numpy as jnp

@@ -192,9 +192,11 @@ def save_checkpoint(ckpt_dir: str, step: int, state):
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, state, force=True)
     ckptr.wait_until_finished()
-    # update 'last' pointer
-    with open(os.path.join(ckpt_dir, 'LAST'), 'w') as f:
-        f.write(str(step))
+    # update 'last' pointer (process 0 only in multi-process runtimes)
+    import jax
+    if jax.process_index() == 0:
+        with open(os.path.join(ckpt_dir, 'LAST'), 'w') as f:
+            f.write(str(step))
     return path
 
 

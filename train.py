@@ -26,7 +26,18 @@ def main():
     p.add_argument('--devices', type=int, default=None)
     p.add_argument('--profile-dir', default=None)
     p.add_argument('--seed', type=int, default=0)
+    # manual multi-process bring-up (TPU pods auto-detect via env vars;
+    # these flags drive CPU/GPU multi-process testing)
+    p.add_argument('--coordinator', default=None,
+                   help='jax.distributed coordinator address host:port')
+    p.add_argument('--num-processes', type=int, default=None)
+    p.add_argument('--process-id', type=int, default=None)
     args = p.parse_args()
+
+    from arah_tpu.parallel import distributed
+    distributed.initialize(coordinator=args.coordinator,
+                           num_processes=args.num_processes,
+                           process_id=args.process_id)
 
     from arah_tpu.config import (load_config, model_config_from_cfg,
                                  loss_weights_from_cfg,
@@ -44,8 +55,14 @@ def main():
     params = init_params_from_cfg(jax.random.PRNGKey(args.seed), cfg,
                                   model_cfg, dataset, mode='train')
 
-    n_dev = args.devices or cfg['training'].get('devices', 1)
-    mesh = make_mesh(min(n_dev, len(jax.devices()))) if n_dev > 1 else None
+    if jax.process_count() > 1:
+        # multi-process SPMD: one global mesh over every chip of every
+        # process (ICI within a slice, DCN across hosts)
+        mesh = distributed.global_mesh()
+    else:
+        n_dev = args.devices or cfg['training'].get('devices', 1)
+        mesh = make_mesh(min(n_dev, len(jax.devices()))) \
+            if n_dev > 1 else None
 
     max_epochs = cfg['training'].get('max_epochs', 250)
     if args.epochs_per_run > 0:
@@ -64,6 +81,18 @@ def main():
         smpl_model = load_smpl_assets(
             cfg['data'].get('smpl_misc', 'body_models/misc'))
 
+    # in-training periodic validation (ref train.py:125 /
+    # check_val_every_n_epoch); job-chaining runs skip it like the
+    # reference does (`/root/reference/train.py:119-122`)
+    val_dataset = None
+    val_every = cfg['training'].get('validate_every_n_epochs', 0)
+    if val_every and args.epochs_per_run <= 0 \
+            and cfg['data'].get('val_split'):
+        try:
+            val_dataset = get_dataset('val', cfg)
+        except Exception as e:
+            print(f'periodic validation disabled (no val data: {e})')
+
     _, stopped = train(
           cfg, model_cfg, loss_w, optim_cfg, dataset, params, mesh=mesh,
           max_epochs=max_epochs, exit_after=args.exit_after,
@@ -72,7 +101,8 @@ def main():
           view_input_noise=cfg['training'].get('view_input_noise', False),
           nv_noise_type=cfg['training'].get('nv_noise_type', 'rotation'),
           seed=args.seed, smpl_model=smpl_model, refine_smpl=refine_smpl,
-          refine_cameras=bool(cfg['model'].get('train_cameras')))
+          refine_cameras=bool(cfg['model'].get('train_cameras')),
+          val_dataset=val_dataset)
     if stopped:
         # reference timed-exit contract: exit code 2 signals "relaunch me"
         raise SystemExit(2)
