@@ -23,6 +23,54 @@ jax.config.update('jax_default_matmul_precision', 'highest')
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        'markers', 'slow: compile-heavy test (deselect with -m "not slow")')
+
+
+_DEFAULT_TIMEOUT = 900  # generous: first-compile of the renderer is slow
+
+
+def pytest_addoption(parser):
+    parser.addoption('--test-timeout', type=int, default=_DEFAULT_TIMEOUT,
+                     help='per-test timeout in seconds (0 = off)')
+
+
+@pytest.hookimpl(wrapper=True)
+def pytest_runtest_call(item):
+    """Per-test watchdog so a deadlock FAILS instead of hanging CI:
+    SIGALRM raises TimeoutError at T; faulthandler dumps all threads and
+    hard-kills at T+120 if the main thread is stuck in C (the XLA:CPU
+    futex-wait failure mode)."""
+    import faulthandler
+    import signal
+    timeout = item.config.getoption('--test-timeout')
+    marker = item.get_closest_marker('timeout')
+    if marker is not None and marker.args:
+        timeout = int(marker.args[0])
+    if timeout <= 0 or threading_main() is False:
+        return (yield)
+
+    def on_alarm(signum, frame):
+        raise TimeoutError(
+            f'test exceeded {timeout}s watchdog (see conftest.py)')
+
+    faulthandler.dump_traceback_later(timeout + 120, exit=True)
+    old = signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(timeout)
+    try:
+        return (yield)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+        faulthandler.cancel_dump_traceback_later()
+
+
+def threading_main() -> bool:
+    import threading
+    return threading.current_thread() is threading.main_thread()
+
+
 @pytest.fixture(scope='session')
 def rng():
     import numpy as np

@@ -80,6 +80,7 @@ class TestDataset:
 
 
 class TestTrainFromDataset:
+    @pytest.mark.slow
     def test_collate_and_step(self, fake_root):
         ds = make_dataset(fake_root)
         sampler = FrameBatchSampler(ds, shuffle=False)

@@ -23,6 +23,7 @@ def workspace(tmp_path_factory):
     return root, os.path.join(root, 'data'), misc_dir, model
 
 
+@pytest.mark.slow
 def test_train_eval_odp_cycle(workspace):
     root, data_root, misc_dir, model = workspace
     out_dir = os.path.join(root, 'out')

@@ -194,6 +194,7 @@ def scene():
     return build_scene()
 
 
+@pytest.mark.slow
 class TestFullEvalPixelParity:
     def test_rendered_pixels_match_reference(self, scene):
         sdf_decoder, skinning_model, color, deviation, idhr = \
@@ -272,6 +273,7 @@ class TestFullEvalPixelParity:
             f'max pixel diff {diff.max():.2e} on {both.sum()} rays'
 
 
+@pytest.mark.slow
 class TestShadingGradientParity:
     def test_color_weight_gradients_match(self, scene):
         """Fixed sampled points -> rgb: gradients w.r.t. a color-net weight
@@ -359,6 +361,7 @@ class TestShadingGradientParity:
                                    rtol=1e-3)
 
 
+@pytest.mark.slow
 class TestImplicitDiffGradientParity:
     def test_skinning_gradients_through_correction(self, scene):
         """train_skinning_net=True: gradients reach the skinning network
@@ -439,6 +442,7 @@ class TestImplicitDiffGradientParity:
                                    rtol=2e-3)
 
 
+@pytest.mark.slow
 class TestFullDepthParity:
     def test_flagship_tracer_depth(self, scene):
         """Same pixel-parity check at the full reference tracer depth

@@ -1,6 +1,7 @@
 """Tests for the SMPL-pose and camera-extrinsic refinement paths."""
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from arah_tpu.data.batch import synthetic_train_batch
@@ -34,6 +35,7 @@ def test_quat_matches_scipy(rng):
     np.testing.assert_allclose(ours, ref, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_refinement_gradients():
     cfg = small_config(train_skinning=False)
     model = synthetic_smpl(n_verts=256)

@@ -110,6 +110,7 @@ class TestRenderEval:
 
 
 class TestRenderTrain:
+    @pytest.mark.slow
     def test_chunked_corr_matches_dense_with_grads(self, rng):
         """Train-mode corr chunking (lax.map Broyden) must leave loss AND
         gradients unchanged vs the dense solve (the solver is

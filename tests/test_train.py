@@ -37,6 +37,7 @@ def setup(train_skinning=True, n_blocks=2, n_rays=128):
 
 
 class TestSingleDevice:
+    @pytest.mark.slow
     def test_step_runs_and_updates(self):
         cfg, loss_w, optimizer, state, batch, labels = setup()
         step = make_train_step(cfg, loss_w, optimizer)
@@ -72,6 +73,7 @@ class TestSingleDevice:
 
 
 class TestSharded:
+    @pytest.mark.slow
     def test_8dev_mesh_step(self):
         n_dev = len(jax.devices())
         assert n_dev == 8, f'expected 8 virtual cpu devices, got {n_dev}'
