@@ -48,6 +48,12 @@ def get_dataset(mode: str, cfg: dict, view_split=None, subsampling_rate=None,
         sample_reg_surface=d.get('sample_reg_surface', False),
         sample_inside=cfg['training'].get('inside_weight', 0.0) > 0,
         erode_mask=d.get('erode_mask', True),
+        # patch rays for the perceptual loss (`loss.py:62-84`); appended
+        # after the per-ray-loss rays, train mode only
+        sample_patch=(cfg['training'].get('patch_size', 48)
+                      if mode == 'train'
+                      and cfg['training'].get('perceptual_weight', 0.0) > 0
+                      else 0),
     )
 
     if dataset_type == 'zju_mocap':
@@ -63,6 +69,7 @@ def get_dataset(mode: str, cfg: dict, view_split=None, subsampling_rate=None,
         from arah_tpu.data.odp import ODPDataset
         common.pop('num_fg_samples'); common.pop('num_bg_samples')
         common.pop('sample_reg_surface'); common.pop('sample_inside')
+        common.pop('sample_patch')
         return ODPDataset(d['path'], pose_dir=d.get('pose_dir'), **common)
     raise ValueError(f'unknown dataset {dataset_type}')
 

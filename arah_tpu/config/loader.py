@@ -134,6 +134,11 @@ def loss_weights_from_cfg(cfg: dict):
         params=t.get('params_weight', 100.0),
         skinning=t.get('skinning_weight', 0.0),
         rgb_loss_type=t.get('rgb_loss_type', 'l1'),
+        # per-ray-loss ray count = the dataset's fg+bg sample budget
+        # (patch rays for the perceptual loss come after these)
+        n_ray_loss=(cfg['data'].get('num_fg_samples', 1024)
+                    + cfg['data'].get('num_bg_samples', 1024)),
+        patch_size=t.get('patch_size', 48),
     )
 
 

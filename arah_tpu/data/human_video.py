@@ -93,12 +93,13 @@ class HumanVideoDataset:
                  end_frame=-1, views=(), off_surface_thr=0.2,
                  inside_thr=0.001, box_margin=0.05,
                  sample_reg_surface=False, sample_inside=False,
-                 erode_mask=True, seed=None):
+                 erode_mask=True, seed=None, sample_patch=0):
         assert len(subjects) == 1, 'single-subject training only'
         self.dataset_folder = dataset_folder
         self.mode = mode
         self.num_fg_samples = num_fg_samples
         self.num_bg_samples = num_bg_samples
+        self.sample_patch = int(sample_patch)
         self.off_surface_thr = off_surface_thr
         self.inside_thr = inside_thr
         self.box_margin = box_margin
@@ -260,7 +261,7 @@ class HumanVideoDataset:
             keep.append(valid[sel])
         keep = np.concatenate(keep)
 
-        return dict(
+        out = dict(
             pixels=pixels[keep].astype(np.float32),
             mask=m[keep], mask_erode=me[keep],
             uv=uv[keep].astype(np.float32),
@@ -268,6 +269,45 @@ class HumanVideoDataset:
             rays=rays[keep].astype(np.float32),
             bounds_intersections=np.stack(
                 [near[keep], far[keep]], axis=-1).astype(np.float32))
+
+        if self.sample_patch > 0:
+            # one ps x ps pixel patch around a random foreground pixel,
+            # appended AFTER the per-ray-loss rays (the perceptual-loss
+            # contract, `loss.py:62-84`); boundary pixels (in mask but
+            # not the eroded mask) carry label 100 so the RGB loss skips
+            # them (`loss.py:52-55`)
+            ps = self.sample_patch
+            ci = self.rng.randint(len(yf))
+            cy = int(np.clip(yf[ci] - ps // 2, 0, H - ps))
+            cx = int(np.clip(xf[ci] - ps // 2, 0, W - ps))
+            gy, gx = np.mgrid[cy:cy + ps, cx:cx + ps]
+            gy, gx = gy.reshape(-1), gx.reshape(-1)
+            p_pix = img[gy, gx].astype(np.float32).copy()
+            p_m = mask[gy, gx] != 0
+            # mask_erode already carries the 0/1/100 (bg/fg/boundary)
+            # labels from _get_mask; pass them through unchanged
+            label = mask_erode[gy, gx].astype(out['mask_erode'].dtype)
+            p_pix[label == 0] = 0.0
+            p_uv = (self.homo_2d[gy, gx].reshape(-1, 3) @ K_inv.T)
+            p_rays_cam = p_uv / (np.linalg.norm(p_uv, axis=-1, keepdims=True)
+                                 + 1e-12)
+            p_rays = p_uv @ R
+            p_rays /= (np.linalg.norm(p_rays, axis=-1, keepdims=True) + 1e-12)
+            p_near, p_far, _ = get_near_far(
+                bounds, np.broadcast_to(cam_loc, p_rays.shape), p_rays)
+            out['pixels'] = np.concatenate([out['pixels'], p_pix])
+            out['mask'] = np.concatenate([out['mask'], p_m])
+            out['mask_erode'] = np.concatenate([out['mask_erode'], label])
+            out['uv'] = np.concatenate(
+                [out['uv'], p_uv.astype(np.float32)])
+            out['rays_cam'] = np.concatenate(
+                [out['rays_cam'], p_rays_cam.astype(np.float32)])
+            out['rays'] = np.concatenate(
+                [out['rays'], p_rays.astype(np.float32)])
+            out['bounds_intersections'] = np.concatenate(
+                [out['bounds_intersections'],
+                 np.stack([p_near, p_far], -1).astype(np.float32)])
+        return out
 
     def _sample_eval_rays(self, img, mask, mask_erode, K, R, cam_trans,
                           cam_loc, bounds):

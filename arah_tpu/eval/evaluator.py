@@ -157,11 +157,14 @@ def evaluate_frame(params, cfg: ModelConfig, item, latent=None,
     pts_cam[~conv] = 0
     normal_img = normals_from_depth(pts_cam, image_mask)
 
+    from arah_tpu.utils.lpips_jax import metric_key
     out = {
         'psnr': metrics_lib.psnr(rgb, gt),
         'ssim': metrics_lib.ssim_metric(pred_img, gt_img, image_mask),
-        'lpips': metrics_lib.lpips_metric(pred_img, gt_img, image_mask,
-                                          lpips_fn),
+        # honest key: 'lpips' only with real calibrated VGG weights,
+        # else 'lpips_proxy_msdssim' (never report the proxy as LPIPS)
+        metric_key(): metrics_lib.lpips_metric(pred_img, gt_img,
+                                               image_mask, lpips_fn),
         'rgb_pred': pred_img, 'rgb_gt': gt_img, 'normal_pred': normal_img,
     }
     return out

@@ -91,7 +91,8 @@ def _refined_rays(params, batch: TrainBatch, b):
 
 def _block_loss(params, cfg: ModelConfig, loss_w: LossWeights,
                 batch: TrainBatch, latent, b, key,
-                smpl_model=None, refine_smpl=False, refine_cameras=False):
+                smpl_model=None, refine_smpl=False, refine_cameras=False,
+                perceptual_fn=None):
     """Render + loss for one ray block (index b into batch arrays)."""
     fd: FrameData = batch.frame
     if refine_smpl and smpl_model is not None:
@@ -121,7 +122,7 @@ def _block_loss(params, cfg: ModelConfig, loss_w: LossWeights,
     out = render(params, cfg, inp, key, training=True)
     gt = {'rgb': batch.rgb_gt[b], 'body_mask': batch.body_mask[b],
           'sampled_weights': batch.sampled_weights[b]}
-    return compute_loss(out, gt, loss_w)
+    return compute_loss(out, gt, loss_w, perceptual_fn=perceptual_fn)
 
 
 def make_train_step(cfg: ModelConfig, loss_w: LossWeights, optimizer,
@@ -136,6 +137,13 @@ def make_train_step(cfg: ModelConfig, loss_w: LossWeights, optimizer,
     camera-extrinsic paths (params['smpl_params']/'betas'/'cam_rots'/
     'cam_trans' must exist).
     """
+    perceptual_fn = None
+    if loss_w.perceptual > 0:
+        # LPIPS patch loss (`loss.py:62-84`) — real VGG LPIPS when the
+        # converted weights exist, else a differentiable MS-DSSIM proxy
+        # (loud warning; see utils/lpips_jax.metric_key)
+        from arah_tpu.utils.lpips_jax import make_perceptual_loss
+        perceptual_fn = make_perceptual_loss()
 
     def loss_fn(params, batch: TrainBatch, key, n_local_blocks):
         latent = None
@@ -145,7 +153,8 @@ def make_train_step(cfg: ModelConfig, loss_w: LossWeights, optimizer,
         losses = [
             _block_loss(params, cfg, loss_w, batch, latent, b, keys[b],
                         smpl_model=smpl_model, refine_smpl=refine_smpl,
-                        refine_cameras=refine_cameras)
+                        refine_cameras=refine_cameras,
+                        perceptual_fn=perceptual_fn)
             for b in range(n_local_blocks)
         ]
         losses = jax.tree.map(lambda *xs: jnp.mean(jnp.stack(xs)), *losses)

@@ -104,23 +104,109 @@ def convert_lpips_weights(out_path: str):
     np.savez(out_path, **out)
 
 
+def weights_path() -> str:
+    return os.environ.get(
+        'ARAH_LPIPS_WEIGHTS',
+        os.path.join(os.path.dirname(__file__), 'lpips_vgg.npz'))
+
+
+def lpips_available() -> bool:
+    """True when converted VGG16+linear-head weights exist on disk."""
+    return os.path.exists(weights_path())
+
+
+def metric_key() -> str:
+    """Honest name for the reported perceptual metric: 'lpips' only when
+    the real calibrated weights are loaded; otherwise the multi-scale
+    DSSIM proxy is named as such so numbers are never mistaken for
+    LPIPS (this sandbox has no torchvision/lpips checkpoints and no
+    network egress — see convert_lpips_weights)."""
+    return 'lpips' if lpips_available() else 'lpips_proxy_msdssim'
+
+
+_WARNED = False
+
+
+def _warn_proxy(context: str):
+    global _WARNED
+    if not _WARNED:
+        import sys
+        print(f'WARNING: LPIPS VGG weights not found at {weights_path()}; '
+              f'{context} uses a multi-scale DSSIM proxy instead '
+              '(reported as "lpips_proxy_msdssim", NOT comparable to '
+              'published LPIPS numbers). Run convert_lpips_weights() on '
+              'a machine with torchvision+lpips to fix.',
+              file=sys.stderr, flush=True)
+        _WARNED = True
+
+
+def _ssim_nhwc(a, b, win: int = 7):
+    """Differentiable uniform-window SSIM over (N, H, W, C) in [0, 1].
+    Returns per-image mean SSIM (N,). Matches the standard constants
+    (K1=0.01, K2=0.03, L=1); a uniform window stands in for skimage's
+    default, which is what `utils/metrics.ssim` also uses."""
+    def filt(x):
+        s = jax.lax.reduce_window(x, 0.0, jax.lax.add,
+                                  (1, win, win, 1), (1, 1, 1, 1), 'VALID')
+        return s / (win * win)
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    mu_a, mu_b = filt(a), filt(b)
+    var_a = filt(a * a) - mu_a * mu_a
+    var_b = filt(b * b) - mu_b * mu_b
+    cov = filt(a * b) - mu_a * mu_b
+    num = (2 * mu_a * mu_b + c1) * (2 * cov + c2)
+    den = (mu_a * mu_a + mu_b * mu_b + c1) * (var_a + var_b + c2)
+    return jnp.mean(num / den, axis=(1, 2, 3))
+
+
+def msdssim(a, b):
+    """Differentiable multi-scale structural dissimilarity for patch
+    batches (N, H, W, 3) in [0, 1]: mean over scales of 1 - SSIM."""
+    vals = []
+    x, y = a, b
+    for _ in range(3):
+        if min(x.shape[1], x.shape[2]) < 8:
+            break
+        vals.append(1.0 - _ssim_nhwc(x, y))
+        x = jax.lax.reduce_window(x, 0.0, jax.lax.add,
+                                  (1, 2, 2, 1), (1, 2, 2, 1), 'VALID') / 4
+        y = jax.lax.reduce_window(y, 0.0, jax.lax.add,
+                                  (1, 2, 2, 1), (1, 2, 2, 1), 'VALID') / 4
+    return jnp.mean(jnp.stack(vals), axis=0)
+
+
+def make_perceptual_loss():
+    """Differentiable patch perceptual loss for TRAINING:
+    (pred (P,ps,ps,3), gt (P,ps,ps,3)) in [0,1] -> scalar mean distance.
+
+    Real LPIPS (`loss.py:62-84` semantics: p_loss(pred, gt,
+    normalize=True).mean()) when converted weights exist; otherwise the
+    differentiable multi-scale DSSIM proxy with a loud warning."""
+    if lpips_available():
+        params = load_lpips_params(weights_path())
+        return lambda p, g: jnp.mean(lpips_distance(params, p, g))
+    _warn_proxy('the training perceptual loss')
+    return lambda p, g: jnp.mean(msdssim(p, g))
+
+
 _DEFAULT = None
 
 
 def get_default_lpips():
-    """LPIPS if weights are on disk, else a multi-scale SSIM proxy."""
+    """LPIPS if weights are on disk, else a multi-scale DSSIM proxy
+    (see metric_key() — callers must report the proxy under its own
+    name, never as 'lpips')."""
     global _DEFAULT
     if _DEFAULT is not None:
         return _DEFAULT
-    path = os.environ.get(
-        'ARAH_LPIPS_WEIGHTS',
-        os.path.join(os.path.dirname(__file__), 'lpips_vgg.npz'))
+    path = weights_path()
     if os.path.exists(path):
         params = load_lpips_params(path)
         fn = jax.jit(lambda a, b: lpips_distance(params, a, b))
         _DEFAULT = lambda a, b: float(np.mean(np.asarray(
             fn(jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32)))))
     else:
+        _warn_proxy('the eval perceptual metric')
         from arah_tpu.utils.metrics import ssim
 
         def proxy(a, b):

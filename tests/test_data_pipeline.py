@@ -61,6 +61,40 @@ class TestDataset:
         fg_mask = item['inputs.mask'][:n_fg]
         assert fg_mask.mean() > 0.9
 
+    def test_patch_sampling(self, fake_root):
+        """sample_patch appends a ps*ps contiguous foreground-centred pixel
+        grid AFTER the fg+bg loss rays (hybrid sampling for the perceptual
+        loss, ref `loss.py:62-84` contract)."""
+        root, misc_dir, _ = fake_root
+        ps = 16
+        ds = ZJUMoCapDataset(
+            root, smpl_misc_dir=misc_dir, subjects=('CoreView_313',),
+            mode='train', img_size=(256, 256), num_fg_samples=128,
+            num_bg_samples=128, sample_reg_surface=False,
+            sample_inside=False, erode_mask=True, seed=0, sample_patch=ps)
+        item = ds[0]
+        n = 256 + ps * ps
+        assert item['inputs'].shape == (n, 3)
+        assert item['inputs.ray_dirs'].shape == (n, 3)
+        assert item['inputs.mask_erode'].shape == (n,)
+        np.testing.assert_allclose(
+            np.linalg.norm(item['inputs.ray_dirs'], axis=-1), 1.0,
+            atol=1e-5)
+        labels = np.unique(item['inputs.mask_erode'][256:])
+        assert set(labels).issubset({0, 1, 100})
+        # the patch is centred on a fg pixel: mostly body
+        assert (item['inputs.mask_erode'][256:] == 1).mean() > 0.2
+        # bg-labelled patch pixels are zeroed like bg rays
+        patch_px = item['inputs'][256:]
+        patch_lbl = item['inputs.mask_erode'][256:]
+        assert np.abs(patch_px[patch_lbl == 0]).max() == 0.0
+        # contiguous grid: uv-lifted pixels of neighbouring columns differ
+        # by exactly one K^-1 column step
+        uv = item['inputs.uv'][256:].reshape(ps, ps, 3)
+        d = np.diff(uv, axis=1)
+        np.testing.assert_allclose(d, np.broadcast_to(d[:1, :1], d.shape),
+                                   atol=1e-6)
+
     def test_eval_mode(self, fake_root):
         ds = make_dataset(fake_root, mode='val')
         item = ds[0]

@@ -61,6 +61,27 @@ class TestSingleDevice:
             new_state.params['hypernet']['hypo_init'])
         assert max(jax.tree.leaves(d_init)) == 0
 
+    @pytest.mark.slow
+    def test_perceptual_patch_step(self):
+        """Train step with perceptual_weight > 0: the patch rays after
+        n_ray_loss feed the (proxy) perceptual fn, the term is non-zero
+        and the step stays finite (ref `loss.py:62-84` wiring)."""
+        ps = 8
+        n_loss = 64
+        cfg, _, optimizer, state, batch, _ = setup(
+            n_blocks=2, n_rays=n_loss + ps * ps)
+        loss_w = LossWeights(n_ray_loss=n_loss, patch_size=ps,
+                             perceptual=0.1)
+        step = make_train_step(cfg, loss_w, optimizer)
+        new_state, losses = step(state, batch, jax.random.PRNGKey(3))
+        assert np.isfinite(float(losses['loss']))
+        assert float(losses['perceptual_loss']) > 0
+        d_color = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))),
+            state.params['color']['layers'],
+            new_state.params['color']['layers'])
+        assert max(jax.tree.leaves(d_color)) > 0
+
     def test_optimizer_labels(self):
         cfg, loss_w, optimizer, state, batch, labels = setup()
         assert labels['hypernet']['hyper_layers'][0]['last']['w'] \

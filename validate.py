@@ -75,6 +75,8 @@ def main():
         args.chunk -= args.chunk % args.devices
         print(f'sharded eval over {args.devices} devices')
 
+    from arah_tpu.utils.lpips_jax import metric_key
+    perc_key = metric_key()
     all_metrics = []
     n = len(dataset) if args.max_frames < 0 \
         else min(args.max_frames, len(dataset))
@@ -90,7 +92,7 @@ def main():
         m = evaluate_frame(params, model_cfg, item, latent,
                            chunk=args.chunk, mesh=mesh)
         all_metrics.append({k: float(m[k])
-                            for k in ('psnr', 'ssim', 'lpips')})
+                            for k in ('psnr', 'ssim', perc_key)})
         save_image(os.path.join(out_dir, f'rgb_{i:06d}.png'), m['rgb_pred'])
         save_image(os.path.join(out_dir, f'normal_{i:06d}.png'),
                    m['normal_pred'])
@@ -99,7 +101,7 @@ def main():
             f'{k}={v:.4f}' for k, v in all_metrics[-1].items()), flush=True)
 
     summary = {k: float(np.mean([m[k] for m in all_metrics]))
-               for k in ('psnr', 'ssim', 'lpips')}
+               for k in ('psnr', 'ssim', perc_key)}
     with open(os.path.join(out_dir, 'metrics.json'), 'w') as f:
         json.dump({'per_frame': all_metrics, 'mean': summary}, f, indent=2)
     print('mean:', summary)
