@@ -33,6 +33,11 @@ class RayTracerConfig(NamedTuple):
     surface_vol_range: float = 0.05
     clamp_dist: float = 0.1
     corr_max_steps: int = 50
+    # the joint (canonical point, depth) iso-surface Broyden ALWAYS runs
+    # 50 steps in the reference (`broyden.py:4` default, independent of
+    # sphere_tracing_iters) — with fewer steps deep roots past the first
+    # marching stall silently fail to converge
+    iso_max_steps: int = 50
     # > 0: run the canonical-correspondence Broyden in fixed-size point
     # chunks via lax.map so each chunk's while_loop exits as soon as ITS
     # points converge (the dense loop pays the global worst straggler for
@@ -143,7 +148,7 @@ def sphere_trace(cfg: RayTracerConfig, sdf_fn: Callable, skin_fn: Callable,
         valid = (~c.diverged) if eval_mode else jnp.ones((n,), bool)
         iso = search_iso_surface_depth(
             sdf_fn, skin_fn, frame, cam_loc, ray_dirs, valid,
-            x_hat, c.t, c.T_fwd, max_steps=cfg.sphere_tracing_iters,
+            x_hat, c.t, c.T_fwd, max_steps=cfg.iso_max_steps,
             cvg_thresh=thresh)
 
         converged = iso.converged & (iso.z_depth >= near) \

@@ -39,8 +39,16 @@ from arah_tpu.train.checkpoints import (convert_hypernet,  # noqa: E402
 HID = 64          # small-but-real network sizes keep the test < 1 min
 NHL = 2           # SIREN hidden layers
 
+# (hid, nhl, skin_hid, skin_layers, color_hid, color_layers, skips)
+SIZES = {
+    'small': (64, 2, 64, 2, 64, 2, ()),
+    # ZJU flagship dims (configs/arah-zju/ZJUMOCAP-313_4gpus.yaml):
+    # 256x5 FiLM hypernet, 128x4 skinning, 256x5 color with skip at 3
+    'flagship': (256, 5, 128, 4, 256, 5, (3,)),
+}
 
-def build_reference_modules():
+
+def build_reference_modules(size: str = 'small'):
     """Random-init torch reference networks (seeded)."""
     import importlib
     siren, _ = load_ref_siren_modules()
@@ -55,17 +63,19 @@ def build_reference_modules():
         'im2mesh.metaavatar_render.renderer.'
         'implicit_differentiable_renderer')
 
+    hid, nhl, skin_hid, skin_layers, color_hid, color_layers, skips = \
+        SIZES[size]
     torch.manual_seed(0)
     sdf_decoder = siren.HyperBVPNet(
         out_features=1, type='sine', in_features=3, hyper_in_ch=144,
-        hidden_features=HID, num_hidden_layers=NHL, hierarchical_pose=True,
+        hidden_features=hid, num_hidden_layers=nhl, hierarchical_pose=True,
         use_FiLM=True)
     # Without a pretrained MetaAvatar ckpt the reference's generated SDF is
     # identically zero (zero hypo_params_init + zero-init hyper heads) and
     # its solvers hit singular Jacobians; seed the frozen base weights with
     # a proper sine init, exactly as arah_tpu's init_hypernet does.
     with torch.no_grad():
-        dims = [(3, HID)] + [(HID, HID)] * NHL + [(HID, 1)]
+        dims = [(3, hid)] + [(hid, hid)] * nhl + [(hid, 1)]
         for i, (d_in, d_out) in enumerate(dims):
             layer = sdf_decoder.net.layers[i]
             hl = getattr(layer, 'hyper_linear', layer)
@@ -81,14 +91,16 @@ def build_reference_modules():
             hl.hypo_params_init.copy_(
                 torch.cat([w.reshape(-1), b]).reshape(1, -1))
     deformer = decoder_mod.Deformer(
-        d_in=3, d_out=25, d_hidden=64, n_layers=2, skip_in=[], cond_in=[],
-        multires=0, bias=1.0, geometric_init=False, weight_norm=True)
+        d_in=3, d_out=25, d_hidden=skin_hid, n_layers=skin_layers,
+        skip_in=[], cond_in=[], multires=0, bias=1.0, geometric_init=False,
+        weight_norm=True)
     skinning_model = skinning_model_mod.SkinningModel(
         skinning_decoder_fwd=deformer)
     color = rdecoder_mod.RenderingNetwork(
-        d_feature=HID + 128, mode='idr', d_in=9, d_out=3, d_hidden=64,
-        n_layers=2, weight_norm=True, multires=0, multires_view=4,
-        skips=[], squeeze_out=True, pose_encoder='latent')
+        d_feature=hid + 128, mode='idr', d_in=9, d_out=3,
+        d_hidden=color_hid, n_layers=color_layers, weight_norm=True,
+        multires=0, multires_view=4, skips=list(skips), squeeze_out=True,
+        pose_encoder='latent')
     deviation = rdecoder_mod.SingleVarianceNetwork(1e-3)
     ray_tracer = rt_mod.BodyRayTracing(
         root_finding_threshold=1e-5, sphere_tracing_iters=8, n_steps=16,
@@ -101,29 +113,35 @@ def build_reference_modules():
     return sdf_decoder, skinning_model, color, deviation, idhr
 
 
-def convert_params(sdf_decoder, skinning_model, color, deviation):
+def convert_params(sdf_decoder, skinning_model, color, deviation,
+                   size: str = 'small'):
     def sd(m):
         return {k: v.detach().numpy() for k, v in m.state_dict().items()}
-    cfg = model_config()
+    cfg = model_config(size)
     params = {
         'hypernet': convert_hypernet(sd(sdf_decoder), cfg.hypernet,
                                      prefix=''),
         'skinning': {'layers': convert_wn_mlp(
-            sd(skinning_model.skinning_decoder_fwd), '', 3)},
-        'color': {'layers': convert_wn_mlp(sd(color), '', 3)},
+            sd(skinning_model.skinning_decoder_fwd), '',
+            cfg.skinning.n_layers + 1)},
+        'color': {'layers': convert_wn_mlp(sd(color), '',
+                                           cfg.color.n_layers + 1)},
         'deviation': {'variance': jnp.asarray(
             float(deviation.variance.detach()))},
     }
     return params
 
 
-def model_config():
+def model_config(size: str = 'small'):
+    hid, nhl, skin_hid, skin_layers, color_hid, color_layers, skips = \
+        SIZES[size]
     return ModelConfig(
-        hypernet=HypernetConfig(hidden_features=HID, num_hidden_layers=NHL,
+        hypernet=HypernetConfig(hidden_features=hid, num_hidden_layers=nhl,
                                 hyper_in_ch=144, use_film=True),
-        skinning=SkinningConfig(d_hidden=64, n_layers=2),
-        color=ColorConfig(d_feature=HID + 128, d_hidden=64, n_layers=2,
-                          skips=(), multires_view=4, pose_encoder='latent'),
+        skinning=SkinningConfig(d_hidden=skin_hid, n_layers=skin_layers),
+        color=ColorConfig(d_feature=hid + 128, d_hidden=color_hid,
+                          n_layers=color_layers, skips=skips,
+                          multires_view=4, pose_encoder='latent'),
         tracer=RayTracerConfig(sphere_tracing_iters=8, n_steps=16,
                                near_surface_vol_samples=4,
                                far_surface_vol_samples=4, corr_max_steps=50),
@@ -196,12 +214,17 @@ def scene():
 
 @pytest.mark.slow
 class TestFullEvalPixelParity:
-    def test_rendered_pixels_match_reference(self, scene):
+    @pytest.mark.parametrize('size', ['small', 'flagship'])
+    def test_rendered_pixels_match_reference(self, scene, size):
+        """Pixel parity at both the fast test size and the FULL flagship
+        network dims (256x5 FiLM hypernet / 128x4 skinning / 256x5 color
+        with skip) — catches weight-layout / FiLM-slicing bugs that only
+        appear at full width."""
         sdf_decoder, skinning_model, color, deviation, idhr = \
-            build_reference_modules()
+            build_reference_modules(size)
         params = convert_params(sdf_decoder, skinning_model, color,
-                                deviation)
-        cfg = model_config()
+                                deviation, size)
+        cfg = model_config(size)
         s = scene
         n = len(s['dirs'])
 
@@ -264,9 +287,14 @@ class TestFullEvalPixelParity:
                       training=False)
         our_rgb = np.asarray(ours['rgb_values'])
 
-        # rays where both pipelines found volume samples must agree
-        both = np.asarray(ours['network_body_mask']) \
-            & (np.abs(ref_rgb).sum(-1) > 0)
+        # tracer convergence sets must agree ray-by-ray, not just overlap
+        ours_conv = np.asarray(ours['network_body_mask'])
+        ref_conv = np.abs(ref_rgb).sum(-1) > 0
+        agree = (ours_conv == ref_conv).mean()
+        assert agree >= 0.9, \
+            f'convergence-set agreement only {agree:.2f} ' \
+            f'(ours {ours_conv.sum()}, ref {ref_conv.sum()})'
+        both = ours_conv & ref_conv
         assert both.sum() >= n // 2, f'only {both.sum()}/{n} rays usable'
         diff = np.abs(our_rgb[both] - ref_rgb[both])
         assert diff.max() < 5e-3, \
@@ -519,8 +547,11 @@ class TestFullDepthParity:
         ours = render(params, cfg, inp, jax.random.PRNGKey(0),
                       training=False)
         our_rgb = np.asarray(ours['rgb_values'])
-        both = np.asarray(ours['network_body_mask']) \
-            & (np.abs(ref_rgb).sum(-1) > 0)
+        ours_conv = np.asarray(ours['network_body_mask'])
+        ref_conv = np.abs(ref_rgb).sum(-1) > 0
+        assert (ours_conv == ref_conv).mean() >= 0.85, \
+            (ours_conv.sum(), ref_conv.sum())
+        both = ours_conv & ref_conv
         assert both.sum() >= 4, both.sum()
         diff = np.abs(our_rgb[both] - ref_rgb[both])
         assert diff.max() < 5e-3, diff.max()

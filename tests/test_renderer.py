@@ -24,7 +24,8 @@ def small_config(train_skinning=False):
                           skips=(), pose_encoder='latent'),
         tracer=RayTracerConfig(sphere_tracing_iters=8, n_steps=16,
                                near_surface_vol_samples=4,
-                               far_surface_vol_samples=4, corr_max_steps=8),
+                               far_surface_vol_samples=4, corr_max_steps=8,
+                               iso_max_steps=8),
         cano_view_dirs=False,
         train_skinning_net=train_skinning,
         n_eik_points=64,
