@@ -111,6 +111,9 @@ class RenderInputs(NamedTuple):
     points_uniform: Any = None    # (1024, 3) normalized, off-surface reg
     points_skinning: Any = None   # (1024, 3) metric cano, skinning reg
     points_inside: Any = None     # (1024, 3) normalized, inside reg
+    points_eik: Any = None        # (n_eik, 3) override for the eikonal
+    #                               sample (parity tests inject the exact
+    #                               points the torch reference drew)
 
 
 def shade_samples(params, cfg: ModelConfig, gen: GeneratedMLP,
@@ -273,7 +276,11 @@ def render(params, cfg: ModelConfig, inp: RenderInputs, key,
     if training:
         sdf_fn = make_sdf_fn(gen)
         # eikonal points: uniform in [-1,1]^3
-        eik = (jax.random.uniform(k_eik, (cfg.n_eik_points, 3)) - 0.5) * 2.0
+        if inp.points_eik is not None:
+            eik = inp.points_eik
+        else:
+            eik = (jax.random.uniform(k_eik, (cfg.n_eik_points, 3))
+                   - 0.5) * 2.0
         # forward-mode spatial gradient (see shade_samples note)
         grad_eik = jax.vmap(jax.jacfwd(lambda p: sdf_fn(p[None])[0]))(eik)
         out['grad_theta'] = grad_eik

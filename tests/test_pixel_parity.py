@@ -555,3 +555,205 @@ class TestFullDepthParity:
         assert both.sum() >= 4, both.sum()
         diff = np.abs(our_rgb[both] - ref_rgb[both])
         assert diff.max() < 5e-3, diff.max()
+
+
+@pytest.mark.slow
+class TestTrainStepParity:
+    """Complete training-step loss + parameter-gradient parity vs the
+    reference (`lightning_model.py:636` compute_loss -> `loss.py:127-191`
+    IDHRLoss.forward): all 8 terms on identical inputs, identical
+    regularization points, deterministic stratified jitter on both sides,
+    then `loss.backward()` vs `jax.grad` on hypernet / skinning / color /
+    deviation parameters."""
+
+    def test_full_training_loss_and_grads_match(self, scene, monkeypatch):
+        import sys
+        import types
+        import importlib
+
+        # the reference loss module imports `lpips` at module scope; it is
+        # not installed here and unused at perceptual_weight=0 -> stub it
+        if 'lpips' not in sys.modules:
+            stub = types.ModuleType('lpips')
+            stub.LPIPS = object
+            sys.modules['lpips'] = stub
+        loss_mod = importlib.import_module(
+            'im2mesh.metaavatar_render.renderer.loss')
+
+        sdf_decoder, skinning_model, color, deviation, idhr = \
+            build_reference_modules()
+        idhr.train()
+        idhr.train_skinning_net = True
+        cfg = model_config()._replace(train_skinning_net=True)
+        params = convert_params(sdf_decoder, skinning_model, color,
+                                deviation)
+        s = scene
+        n = len(s['dirs'])
+        rng = np.random.RandomState(7)
+
+        # shared regularization inputs (reference shapes are hardcoded:
+        # 1024 eikonal + 1024 uniform points, `idr.py:125-140`)
+        eik_u = rng.rand(1, 1024, 3).astype(np.float32)       # raw U(0,1)
+        eik_pts = (eik_u - 0.5) * 2.0
+        pts_uniform = ((rng.rand(1, 1024, 3) - 0.5) * 2.0).astype(np.float32)
+        pts_inside = ((rng.rand(64, 3) - 0.5) * 0.2).astype(np.float32)
+        pts_skinning = (s['msv'][rng.randint(0, len(s['msv']), 128)]
+                        + rng.randn(128, 3).astype(np.float32) * 0.01
+                        ).astype(np.float32)[None]
+        sw_gt = rng.rand(1, 128, 24).astype(np.float32)
+        sw_gt /= sw_gt.sum(-1, keepdims=True)
+        rgb_gt = rng.rand(1, n, 3).astype(np.float32)
+        body_mask = (rng.rand(1, n) > 0.4).astype(np.float32)
+
+        # deterministic randomness on BOTH sides: torch.rand -> the fixed
+        # eikonal draw for its shape, 0.5 (interval midpoint) for the
+        # stratified z jitter; jax stratified_z_vals -> t=0.5 likewise
+        real_rand = torch.rand
+
+        def fake_rand(*sizes, **kw):
+            if sizes and isinstance(sizes[0], (tuple, torch.Size)):
+                sizes = tuple(sizes[0])
+            if tuple(sizes) == (1, 1024, 3):
+                return torch.tensor(eik_u, **{k: v for k, v in kw.items()
+                                              if k in ('dtype', 'device')})
+            return real_rand(*sizes, **kw) * 0 + 0.5
+
+        monkeypatch.setattr(torch, 'rand', fake_rand)
+
+        import arah_tpu.render.ray_tracing as rt_ours
+
+        def det_stratified(key, z_vals, fix_idx=None):
+            mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+            upper = jnp.concatenate([mids, z_vals[..., -1:]], axis=-1)
+            lower = jnp.concatenate([z_vals[..., :1], mids], axis=-1)
+            return lower + (upper - lower) * 0.5
+
+        monkeypatch.setattr(rt_ours, 'stratified_z_vals', det_stratified)
+
+        W = dict(rgb=30.0, perceptual=0.0, eikonal=50.0, mask=1.0,
+                 off_surface=100.0, inside=10.0, params=100.0,
+                 skinning=10.0)
+
+        # ---- reference forward + loss + backward (torch, train) ----
+        tt = lambda x: torch.tensor(np.asarray(x), dtype=torch.float32)
+        dec_out = sdf_decoder({
+            'coords': torch.zeros(1, 1, 3),
+            'rots': tt(s['rots_local'])[None],
+            'Jtrs': tt(s['Jtr_norm'])[None],
+            'latent': tt(s['latent'])})
+        inputs = {
+            'ray_dirs': tt(s['dirs'])[None],
+            'cam_loc': tt(s['cam'])[None],
+            'pose': torch.eye(4)[None],
+            'body_mask': tt(body_mask),
+            'body_bounds_intersections': tt(np.stack(
+                [s['near'], s['far']], -1))[None],
+            'loc': torch.zeros(1, 1, 3),
+            'sc_factor': torch.ones(1, 1, 1),
+            'smpl_verts': tt(s['verts_world'])[None],
+            'skinning_weights': tt(s['sw'])[None],
+            'vol_feat': torch.empty(1, 0),
+            'bone_transforms': tt(s['bone_transforms'])[None],
+            'trans': tt(s['trans'])[None, None],
+            'coord_min': torch.tensor([float(s['cmin'])]),
+            'coord_max': torch.tensor([float(s['cmax'])]),
+            'center': tt(s['center'])[None, None],
+            'minimal_shape': tt(s['msv'])[None],
+            'sdf_network': dec_out['decoder'],
+            'points_uniform': tt(pts_uniform),
+            'points_inside': tt(pts_inside),
+            'points_skinning': tt(pts_skinning),
+            'pose_cond': {'rots_full': tt(s['rots_full'])[None],
+                          'Jtrs_posed': tt(s['Jtr_posed'])[None],
+                          'latent_code': tt(s['latent'])},
+        }
+        ref_out = idhr(inputs)
+        ref_out['sdf_params'] = dec_out['params']
+        criteria = loss_mod.IDHRLoss(
+            rgb_weight=W['rgb'], perceptual_weight=W['perceptual'],
+            eikonal_weight=W['eikonal'], mask_weight=W['mask'],
+            off_surface_weight=W['off_surface'], inside_weight=W['inside'],
+            params_weight=W['params'], skinning_weight=W['skinning'],
+            rgb_loss_type='l1')
+        ref_losses = criteria(ref_out, {'rgb': tt(rgb_gt),
+                                        'sampled_weights': tt(sw_gt)})
+        ref_losses['loss'].backward()
+
+        # ---- arah_tpu forward + loss + grad (jax, train) ----
+        from arah_tpu.train.loss import LossWeights, compute_loss
+        frame = CanonicalFrame(
+            bone_transforms=jnp.asarray(s['bone_transforms']),
+            trans=jnp.asarray(s['trans']),
+            coord_min=jnp.asarray(s['cmin']),
+            coord_max=jnp.asarray(s['cmax']),
+            center=jnp.asarray(s['center']))
+        smpl_ref = SmplRef(verts_posed=jnp.asarray(s['verts_world']),
+                           skinning_weights=jnp.asarray(s['sw']))
+        inp = RenderInputs(
+            cam_loc=jnp.asarray(s['cam']),
+            ray_dirs=jnp.asarray(s['dirs']),
+            near=jnp.asarray(s['near']), far=jnp.asarray(s['far']),
+            frame=frame, smpl=smpl_ref,
+            rots=jnp.asarray(s['rots_local'])[None],
+            Jtrs=jnp.asarray(s['Jtr_norm'])[None],
+            rots_full=jnp.asarray(s['rots_full'])[None],
+            Jtrs_posed=jnp.asarray(s['Jtr_posed'])[None],
+            pose_cond_extra={'latent_code': jnp.asarray(s['latent'])},
+            geo_latent=jnp.asarray(s['latent'][0]),
+            points_uniform=jnp.asarray(pts_uniform.reshape(-1, 3)),
+            points_inside=jnp.asarray(pts_inside),
+            points_skinning=jnp.asarray(pts_skinning[0]),
+            points_eik=jnp.asarray(eik_pts.reshape(-1, 3)))
+        lw = LossWeights(rgb=W['rgb'], perceptual=W['perceptual'],
+                         eikonal=W['eikonal'], mask=W['mask'],
+                         off_surface=W['off_surface'], inside=W['inside'],
+                         params=W['params'], skinning=W['skinning'],
+                         rgb_loss_type='l1', n_ray_loss=n)
+        gt = {'rgb': jnp.asarray(rgb_gt[0]),
+              'body_mask': jnp.asarray(body_mask[0].astype(np.int32)),
+              'sampled_weights': jnp.asarray(sw_gt[0])}
+
+        def loss_fn(p):
+            out = render(p, cfg, inp, jax.random.PRNGKey(0), training=True)
+            losses = compute_loss(out, gt, lw)
+            return losses['loss'], (losses, out)
+
+        (loss_j, (losses_j, out_j)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+
+        # the masked loss terms only agree if the tracers converged on the
+        # SAME rays — assert that first, it is the precondition
+        ours_conv = np.asarray(out_j['network_body_mask'])
+        ref_conv = ref_out['network_body_mask'].detach().numpy()[0]
+        assert (ours_conv == ref_conv).all(), \
+            f'convergence sets differ: ours {ours_conv.sum()} ' \
+            f'ref {ref_conv.sum()}'
+
+        # every loss term (<1e-3 relative; the totals are O(1e0..1e4))
+        for key in ('rgb_loss', 'eikonal_loss', 'mask_loss',
+                    'off_surface_loss', 'inside_loss', 'sdf_params_loss',
+                    'skinning_loss', 'loss'):
+            ref_v = float(ref_losses[key])
+            our_v = float(losses_j[key])
+            np.testing.assert_allclose(
+                our_v, ref_v, rtol=1e-3, atol=1e-6,
+                err_msg=f'loss term {key}: ours {our_v} ref {ref_v}')
+
+        # parameter gradients across all four trainable modules
+        g_map = np.asarray(grads['hypernet']['mapping']['lins'][0]['w'])
+        r_map = sdf_decoder.net.mapping_network.network[0] \
+            .weight.grad.detach().numpy()
+        np.testing.assert_allclose(g_map, r_map, atol=3e-4, rtol=1e-3)
+
+        g_col = np.asarray(grads['color']['layers'][0]['v'])
+        r_col = color.lin0.weight_v.grad.detach().numpy()
+        np.testing.assert_allclose(g_col, r_col, atol=3e-4, rtol=1e-3)
+
+        g_skin = np.asarray(grads['skinning']['layers'][0]['v'])
+        r_skin = skinning_model.skinning_decoder_fwd.lin0 \
+            .weight_v.grad.detach().numpy()
+        np.testing.assert_allclose(g_skin, r_skin, atol=3e-4, rtol=1e-3)
+
+        g_dev = float(grads['deviation']['variance'])
+        r_dev = float(deviation.variance.grad)
+        np.testing.assert_allclose(g_dev, r_dev, atol=1e-4, rtol=1e-3)
