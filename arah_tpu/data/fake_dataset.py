@@ -129,6 +129,83 @@ def make_fake_zju_dataset(root: str, subject='CoreView_313', n_frames=2,
     return misc_dir, model
 
 
+def make_fake_raw_zju(root: str, subject='CoreView_313', n_frames=2,
+                      views=('1', '7'), img_size=512, n_verts=1024,
+                      seed=0, verts_offset=0.05):
+    """RAW (pre-preprocessing) ZJU-MoCap layout: `annots.npy` cameras
+    (T in mm), EasyMocap `new_params/{idx}.npy` + `new_vertices/{idx}.npy`,
+    `Camera (i)/` jpgs and `mask_cihp/Camera (i)/` pngs — the exact tree
+    `preprocess/preprocess_zju_mocap.py` (reference
+    `preprocess_datasets/preprocess_ZJU-MoCap.py:25-168`) consumes, so the
+    L0 preprocessing stage can be exercised end-to-end without the gated
+    raw data. `new_vertices` are shifted by `verts_offset` so the
+    translation refit has something to recover. Returns (misc_dir, model).
+    """
+    rng = np.random.RandomState(seed)
+    model = synthetic_smpl(n_verts=n_verts, seed=seed)
+    misc_dir = os.path.join(root, 'body_models', 'misc')
+    write_smpl_misc(misc_dir, model)
+
+    sdir = os.path.join(root, subject)
+    # the preprocess script indexes annots['cams'] positionally over the
+    # full 21-camera list for CoreView_313 — provide all of them, images
+    # only for `views`
+    cam_names = [str(c) for c in list(range(1, 20)) + [22, 23]]
+    Ks, Ds, Rs, Ts = [], [], [], []
+    cams = {}
+    for i, v in enumerate(cam_names):
+        K, R, T = _camera(360.0 * i / len(cam_names), c=img_size / 2)
+        Ks.append(K)
+        Ds.append(np.zeros((5, 1)))
+        Rs.append(R)
+        Ts.append(T.reshape(3, 1) * 1000.0)          # annots store mm
+        if v in views:
+            cams[v] = (K, R, T)
+    os.makedirs(sdir, exist_ok=True)
+    np.save(os.path.join(sdir, 'annots.npy'),
+            {'cams': {'K': Ks, 'D': Ds, 'R': Rs, 'T': Ts}})
+
+    faces = np.asarray(model.faces)
+    for fidx in range(1, n_frames + 1):             # ZJU 313 is 1-based
+        betas = (rng.randn(10) * 0.2).astype(np.float32)
+        pose = (rng.randn(72) * 0.15).astype(np.float32)
+        trans = (rng.randn(3) * 0.05).astype(np.float32)
+        # EasyMocap param layout: Rh = root orient, poses[:3] unused
+        poses = pose.copy()
+        poses[:3] = 0.0
+        os.makedirs(os.path.join(sdir, 'new_params'), exist_ok=True)
+        np.save(os.path.join(sdir, 'new_params', f'{fidx}.npy'),
+                {'Rh': pose[:3].reshape(1, 3), 'Th': trans.reshape(1, 3),
+                 'shapes': betas.reshape(1, 10), 'poses': poses.reshape(1, 72)})
+
+        out = lbs(model, jnp.asarray(betas)[None], jnp.asarray(pose)[None])
+        verts_world = np.asarray(out.verts[0]) + trans
+        os.makedirs(os.path.join(sdir, 'new_vertices'), exist_ok=True)
+        np.save(os.path.join(sdir, 'new_vertices', f'{fidx}.npy'),
+                (verts_world + verts_offset).astype(np.float32))
+
+        H = W = img_size
+        for v, (K, R, T) in cams.items():
+            pc = verts_world @ R.T + T
+            depth = pc[:, 2]
+            proj = pc[:, :2] / np.maximum(depth[:, None], 1e-6)
+            proj = proj * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]
+            face_buf, _, _ = native.rasterize_mesh(proj, depth, faces, H, W)
+            sil = (face_buf >= 0).astype(np.uint8)
+            img = np.zeros((H, W, 3), np.uint8)
+            img[sil > 0] = (180, 120, 90)
+            # 313-style names: frame index is the 5th '_' field
+            base = f'Camera ({v})_CoreView_313_1_{fidx:04d}_2019.jpg'
+            ip = os.path.join(sdir, f'Camera ({v})', base)
+            mp = os.path.join(sdir, 'mask_cihp', f'Camera ({v})',
+                              base[:-4] + '.png')
+            for p in (ip, mp):
+                os.makedirs(os.path.dirname(p), exist_ok=True)
+            cv2.imwrite(ip, img)
+            cv2.imwrite(mp, sil * 255)
+    return misc_dir, model
+
+
 def make_fake_h36m_dataset(root: str, subject='S9', n_frames=2,
                            views=('1', '2'), n_verts=1024, seed=0):
     """H36M (Animatable-NeRF) layout: everything under {subject}/Posing/,

@@ -111,19 +111,26 @@ def main():
         result = ('eval_rays_per_s_per_chip', rays_s)
 
     metric, value = result
-    baseline = 0.0
+    # vs_baseline: the same-host like-for-like framework ratio measured by
+    # bench_baseline.py (arah_tpu / reference-torch, identical flagship
+    # train step on this host's CPU — the reference publishes no GPU
+    # numbers and no CUDA device exists here; see BENCH_BASELINE.json
+    # "method"/"notes").
+    vs, method = 0.0, 'unmeasured'
     here = os.path.dirname(os.path.abspath(__file__))
     bpath = os.path.join(here, 'BENCH_BASELINE.json')
     if os.path.exists(bpath):
         with open(bpath) as f:
-            baseline = float(json.load(f).get('baseline_rays_s', 0.0))
-    vs = value / baseline if baseline > 0 else 0.0
+            bb = json.load(f)
+        vs = float(bb.get('cpu_like_for_like_ratio', 0.0))
+        method = 'same-host CPU like-for-like (BENCH_BASELINE.json)'
 
     print(json.dumps({
         'metric': metric,
         'value': round(value, 2),
         'unit': 'rays/s',
         'vs_baseline': round(vs, 3),
+        'vs_baseline_method': method,
     }))
 
 

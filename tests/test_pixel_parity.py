@@ -148,9 +148,9 @@ def model_config(size: str = 'small'):
         cano_view_dirs=False, train_skinning_net=False)
 
 
-def build_scene():
+def build_scene(n_verts: int = 460, n_rays: int = 24):
     rng = np.random.RandomState(3)
-    model = synthetic_smpl(n_verts=460)
+    model = synthetic_smpl(n_verts=n_verts)
     betas = (rng.randn(10) * 0.2).astype(np.float32)
     pose = (rng.randn(72) * 0.15).astype(np.float32)
     trans = np.array([0.05, 0.0, 0.1], np.float32)
@@ -184,7 +184,6 @@ def build_scene():
         [np.eye(3, dtype=np.float32).reshape(1, 9), rots_full[1:]], axis=0)
 
     # rays toward body verts
-    n_rays = 24
     cam = np.array([0.0, 0.2, -2.6], np.float32)
     tgt = rng.randint(0, len(verts_world), n_rays)
     dirs = verts_world[tgt] - cam

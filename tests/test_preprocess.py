@@ -1,0 +1,130 @@
+"""L0 preprocessing end-to-end: synthetic RAW ZJU-MoCap tree ->
+`preprocess/preprocess_zju_mocap.py` -> framework dataset layout ->
+HumanVideoDataset item -> one training step.
+
+Exercises the same contract as the reference
+`preprocess_datasets/preprocess_ZJU-MoCap.py:25-168` (annots.npy mm->m
+cameras, EasyMocap new_params Rh/Th/shapes/poses, translation refit
+against new_vertices) without the registration-gated raw data.
+"""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from arah_tpu.data.fake_dataset import make_fake_raw_zju
+from arah_tpu.data.human_video import ZJUMoCapDataset
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+VERTS_OFFSET = 0.05
+
+
+@pytest.fixture(scope='module')
+def preprocessed(tmp_path_factory):
+    raw = str(tmp_path_factory.mktemp('raw_zju'))
+    out = str(tmp_path_factory.mktemp('processed_zju'))
+    misc_dir, model = make_fake_raw_zju(
+        raw, n_frames=2, views=('1', '7'), img_size=256, n_verts=512,
+        verts_offset=VERTS_OFFSET)
+    env = dict(os.environ, PYTHONPATH=REPO)
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, 'preprocess',
+                                      'preprocess_zju_mocap.py'),
+         '--data-dir', raw, '--out-dir', out, '--seqname', 'CoreView_313',
+         '--smpl-misc', misc_dir],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=600)
+    assert res.returncode == 0, res.stderr[-3000:]
+    return raw, out, misc_dir, model
+
+
+class TestPreprocessZJU:
+    def test_output_tree(self, preprocessed):
+        raw, out, misc_dir, _ = preprocessed
+        seq = os.path.join(out, 'CoreView_313')
+        with open(os.path.join(seq, 'cam_params.json')) as f:
+            cams = json.load(f)
+        # 313 has the 21-camera list (1..19, 22, 23)
+        assert len(cams['all_cam_names']) == 21
+        assert cams['all_cam_names'][0] == '1'
+        # annots T is stored in mm; cam_params must be metres
+        T = np.asarray(cams['1']['T']).reshape(3)
+        assert np.linalg.norm(T) < 100.0
+        for fidx in (1, 2):
+            assert os.path.exists(
+                os.path.join(seq, 'models', f'{fidx:06d}.npz'))
+            for v in ('1', '7'):
+                assert os.path.exists(
+                    os.path.join(seq, v, f'{fidx:06d}.jpg'))
+                assert os.path.exists(
+                    os.path.join(seq, v, f'{fidx:06d}.png'))
+
+    def test_translation_refit(self, preprocessed):
+        """new_vertices are shifted by VERTS_OFFSET vs the raw Th; the
+        refit (ref :132-141) must recover that shift so posed verts from
+        the record match the stored EasyMocap verts."""
+        raw, out, misc_dir, model = preprocessed
+        from preprocess.smpl_frames import posed_vertices
+        rec = dict(np.load(os.path.join(
+            out, 'CoreView_313', 'models', '000001.npz')))
+        target = np.load(os.path.join(
+            raw, 'CoreView_313', 'new_vertices', '1.npy'))
+        ours = posed_vertices(model, rec)
+        err = np.abs(ours - target).max()
+        assert err < 1e-4, err
+        raw_params = np.load(
+            os.path.join(raw, 'CoreView_313', 'new_params', '1.npy'),
+            allow_pickle=True).item()
+        shift = rec['trans'] - np.asarray(raw_params['Th']).reshape(3)
+        np.testing.assert_allclose(shift, VERTS_OFFSET, atol=1e-4)
+
+    def test_dataset_loads(self, preprocessed):
+        raw, out, misc_dir, _ = preprocessed
+        ds = ZJUMoCapDataset(
+            out, smpl_misc_dir=misc_dir, subjects=('CoreView_313',),
+            mode='train', img_size=(128, 128), num_fg_samples=64,
+            num_bg_samples=64, sample_reg_surface=True, sample_inside=True,
+            erode_mask=False, seed=0, views=('1', '7'))
+        assert len(ds) == 4    # 2 frames x 2 views
+        item = ds[0]
+        assert item['inputs'].shape == (128, 3)
+        assert item['inputs.mask'][:64].mean() > 0.9
+        np.testing.assert_allclose(
+            np.linalg.norm(item['inputs.ray_dirs'], axis=-1), 1.0,
+            atol=1e-5)
+
+    @pytest.mark.slow
+    def test_train_step_on_preprocessed(self, preprocessed):
+        """One jitted training step on the preprocessed output — L0 feeds
+        L5 for real."""
+        import jax
+        import jax.numpy as jnp
+        from arah_tpu.data.loader import (FrameBatchSampler,
+                                          collate_train_batch)
+        from arah_tpu.model import init_model_params
+        from arah_tpu.parallel.train_step import TrainState, make_train_step
+        from arah_tpu.train.loss import LossWeights
+        from arah_tpu.train.optim import OptimConfig, make_optimizer
+        from test_renderer import small_config
+
+        raw, out, misc_dir, _ = preprocessed
+        ds = ZJUMoCapDataset(
+            out, smpl_misc_dir=misc_dir, subjects=('CoreView_313',),
+            mode='train', img_size=(128, 128), num_fg_samples=32,
+            num_bg_samples=32, sample_reg_surface=True, sample_inside=True,
+            erode_mask=False, seed=0, views=('1', '7'))
+        cfg = small_config()
+        params = init_model_params(jax.random.PRNGKey(0), cfg,
+                                   n_latent_frames=2)
+        sampler = FrameBatchSampler(ds, shuffle=False)
+        idxs = next(iter(sampler))
+        batch = collate_train_batch([ds[i] for i in idxs])
+        loss_w = LossWeights(n_ray_loss=64, inside=10.0)
+        opt, _ = make_optimizer(OptimConfig(), params)
+        state = TrainState(params, opt.init(params), jnp.int32(0))
+        step = make_train_step(cfg, loss_w, opt)
+        new_state, losses = step(state, batch, jax.random.PRNGKey(1))
+        for k, v in losses.items():
+            assert np.isfinite(float(v)), (k, float(v))
