@@ -118,6 +118,7 @@ def model_config_from_cfg(cfg: dict, low_vram: bool = False):
         cano_view_dirs=m.get('cano_view_dirs', True),
         train_skinning_net=cfg['training'].get('train_skinning_net', False),
         render_last_pt=m.get('render_last_pt', False),
+        bf16_shading=m.get('bf16_shading', False),
     )
 
 

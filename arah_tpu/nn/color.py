@@ -89,10 +89,10 @@ def color_pose_feature(params, cfg: ColorConfig, pose_cond: dict):
 
 def color_apply(params, cfg: ColorConfig, points: jax.Array,
                 normals: jax.Array, view_dirs: jax.Array,
-                sdf_feature: jax.Array, pose_feature: jax.Array | None
-                ) -> jax.Array:
+                sdf_feature: jax.Array, pose_feature: jax.Array | None,
+                bf16: bool = False) -> jax.Array:
     """RGB at points. All point-shaped args are (N, ·); pose_feature (1, F)
-    is broadcast across points."""
+    is broadcast across points. bf16: see `layers.mm_t`."""
     if cfg.multires > 0:
         points = positional_encoding(points, cfg.multires)
     if cfg.multires_view > 0:
@@ -120,7 +120,7 @@ def color_apply(params, cfg: ColorConfig, points: jax.Array,
     for l in range(n):
         if l in cfg.skips:
             x = jnp.concatenate([x0, x], axis=-1)
-        x = wn_linear(params['layers'][l], x)
+        x = wn_linear(params['layers'][l], x, bf16)
         if l < n - 1:
             x = jax.nn.relu(x)
     return jax.nn.sigmoid(x) if cfg.squeeze_out else x

@@ -77,10 +77,10 @@ def init_wn_linear(key, in_features: int, out_features: int,
     return {'v': w, 'g': g, 'b': b}
 
 
-def wn_linear(params, x):
+def wn_linear(params, x, bf16: bool = False):
     v = params['v']
     w = params['g'] * v / jnp.linalg.norm(v, axis=1, keepdims=True)
-    return x @ w.T + params['b']
+    return mm_t(x, w, bf16) + params['b']
 
 
 def set_wn_from_dense(w, b):
@@ -144,3 +144,20 @@ def softplus100(x):
     including the linear region above threshold 20/beta)."""
     bx = 100.0 * x
     return jnp.where(bx > 20.0, x, jax.nn.softplus(bx) / 100.0)
+
+
+def mm_t(x, w, bf16: bool = False):
+    """x @ w.T with optional bf16 inputs / f32 accumulation.
+
+    On TPU an f32 matmul runs as multiple bf16 MXU passes; casting the
+    operands to bf16 (keeping `preferred_element_type=jnp.float32` so the
+    accumulator stays f32) trades ~3 decimal digits of operand precision
+    for the single-pass rate. Used by the shading stage only
+    (`ModelConfig.bf16_shading`); solvers and regularizers stay f32.
+    """
+    if not bf16:
+        return x @ w.T
+    return jax.lax.dot_general(
+        x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+        (((x.ndim - 1,), (w.ndim - 1,)), ((), ())),
+        preferred_element_type=jnp.float32)

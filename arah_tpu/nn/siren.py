@@ -31,23 +31,27 @@ class GeneratedMLP(NamedTuple):
 
 
 def siren_apply(gen: GeneratedMLP, x: jax.Array,
-                return_features: bool = False):
+                return_features: bool = False, bf16: bool = False):
     """Evaluate the generated SIREN on points x (..., in_dim).
 
     Returns sdf (..., out_dim); if return_features, also the penultimate
     activation (the 256-d feature the color network consumes,
     `implicit_differentiable_renderer.py:336-337`).
+
+    bf16: matmuls in bfloat16 with f32 accumulation (activations stay
+    f32); shading-only fast path, see `layers.mm_t`.
     """
+    from arah_tpu.nn.layers import mm_t
     h = x
     n_layers = len(gen.weights)
     use_film = len(gen.freqs) > 0
     for i in range(n_layers - 1):
-        h = h @ gen.weights[i].T + gen.biases[i]
+        h = mm_t(h, gen.weights[i], bf16) + gen.biases[i]
         if use_film:
             h = gen.freqs[i] * h + gen.phases[i]
         h = jnp.sin(30.0 * h)
     features = h
-    out = h @ gen.weights[-1].T + gen.biases[-1]
+    out = mm_t(h, gen.weights[-1], bf16) + gen.biases[-1]
     if return_features:
         return out, features
     return out

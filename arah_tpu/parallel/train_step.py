@@ -197,6 +197,13 @@ def make_train_step(cfg: ModelConfig, loss_w: LossWeights, optimizer,
         sharded, mesh=mesh,
         in_specs=(P(), P(), P(), block_spec, P()),
         out_specs=(P(), P(), P(), P()),
+        # varying-manual-axes checking rejects the solver while_loop/scan
+        # carries: their inits mix replicated frame state with per-device
+        # ray state, which would need jax.lax.pcast(..., to='varying') at
+        # every loop entry (verified: check_vma=True fails in
+        # dryrun_multichip with exactly that suggestion). The collectives
+        # here are a single grad/loss pmean, checked by
+        # tests/test_multiprocess.py grad-sync.
         check_vma=False)
 
     @jax.jit

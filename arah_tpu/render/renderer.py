@@ -48,6 +48,10 @@ class ModelConfig(NamedTuple):
     train_skinning_net: bool = False
     render_last_pt: bool = False
     n_eik_points: int = 1024
+    # bf16-matmul/f32-accum in the differentiable shading stage (SIREN
+    # SDF+features+normals and the color MLP). Solvers, eikonal and the
+    # other regularizers stay f32. See nn/layers.py:mm_t.
+    bf16_shading: bool = False
 
 
 def make_skin_fn(params, cfg: ModelConfig, stop_grad: bool = False):
@@ -162,7 +166,8 @@ def shade_samples(params, cfg: ModelConfig, gen: GeneratedMLP,
     # but the parameter-backward becomes reverse-over-forward, which the
     # TPU compiler handles far better than reverse-over-reverse.
     def sdf_feat(p):
-        out, feat = siren_apply(gen, p[None], return_features=True)
+        out, feat = siren_apply(gen, p[None], return_features=True,
+                                bf16=cfg.bf16_shading)
         return out[0, 0], (out[0, 0], feat[0])
 
     if training or jax.default_backend() == 'cpu':
@@ -197,7 +202,7 @@ def shade_samples(params, cfg: ModelConfig, gen: GeneratedMLP,
 
     sdf_metric_vals = sdf_to_metric(sdf_norm, frame.coord_min, frame.coord_max)
     rgb = color_apply(params['color'], cfg.color, flat_p, normal, in_vd,
-                      feats, pose_feature)
+                      feats, pose_feature, bf16=cfg.bf16_shading)
 
     beta = deviation_value(params['deviation'])
     density = volsdf_density(sdf_metric_vals, beta)

@@ -126,3 +126,73 @@ class TestCorrKernel:
         off = ~np.asarray(mask)
         np.testing.assert_allclose(np.asarray(x_hat)[off],
                                    np.asarray(x0)[off], atol=1e-6)
+
+
+class TestCorrKernelTransposed:
+    def test_matches_search_canonical_corr(self, rng):
+        """(k, T) transposed-layout kernel vs the XLA solver (same harness
+        as TestCorrKernel)."""
+        from arah_tpu.nn.skinning import SkinningConfig, init_skinning
+        from arah_tpu.render.ray_tracing import CanonicalFrame
+        from arah_tpu.solver.root_find import (forward_skinning,
+                                               search_canonical_corr)
+        from arah_tpu.ops.pallas.corr_kernel_t import corr_search_pallas_t
+        from arah_tpu.core.smpl import batch_rodrigues
+        from arah_tpu.core.body import normalize_canonical_points
+        from arah_tpu.render.renderer import make_skin_fn
+
+        cfg = SkinningConfig(d_hidden=128, n_layers=4)
+        params = init_skinning(jax.random.PRNGKey(0), cfg)
+
+        aa = (rng.randn(24, 3) * 0.15).astype(np.float32)
+        R = np.asarray(batch_rodrigues(jnp.asarray(aa)))
+        tfs = np.tile(np.eye(4, dtype=np.float32), (24, 1, 1))
+        tfs[:, :3, :3] = R
+        tfs[:, :3, 3] = (rng.randn(24, 3) * 0.05).astype(np.float32)
+        frame = CanonicalFrame(
+            bone_transforms=jnp.asarray(tfs), trans=jnp.zeros(3),
+            coord_min=jnp.float32(-1.1), coord_max=jnp.float32(1.0),
+            center=jnp.asarray(rng.randn(3).astype(np.float32) * 0.05))
+
+        skin_fn = make_skin_fn({'skinning': params},
+                               type('C', (), {'skinning': cfg}))
+
+        n = 512
+        x_gt = jnp.asarray(rng.randn(n, 3).astype(np.float32) * 0.3)
+        x_bar, T_gt = forward_skinning(skin_fn, frame, x_gt)
+        x0 = x_gt + 0.03 * jnp.asarray(rng.randn(n, 3).astype(np.float32))
+        x0n = normalize_canonical_points(x0, frame.coord_min,
+                                         frame.coord_max, frame.center)
+        w0 = skin_fn(x0n)
+        T0 = jnp.einsum('nj,jab->nab', w0, frame.bone_transforms)
+        mask = jnp.asarray(rng.rand(n) > 0.1)
+
+        ref = search_canonical_corr(skin_fn, frame, x_bar, x0,
+                                    T0, active_init=mask)
+
+        # collapse weight norm to dense (out, in) weights
+        wts, bs = [], []
+        for lyr in params['layers']:
+            v = lyr['v']
+            w = lyr['g'] * v / jnp.linalg.norm(v, axis=1, keepdims=True)
+            wts.append(w)
+            bs.append(lyr['b'])
+        x_hat, T16, valid = corr_search_pallas_t(
+            x_bar, x0, T0.reshape(n, 16), mask, wts, bs,
+            frame.bone_transforms.reshape(24, 16),
+            frame.coord_min, frame.coord_max, frame.center, tile=256)
+
+        v_ref = np.asarray(ref.valid)
+        v_ker = np.asarray(valid)
+        agree = (v_ref == v_ker).mean()
+        assert agree > 0.98, agree
+        both = v_ref & v_ker
+        assert both.mean() > 0.8
+        np.testing.assert_allclose(np.asarray(x_hat)[both],
+                                   np.asarray(ref.x_hat)[both], atol=5e-4)
+        np.testing.assert_allclose(
+            np.asarray(T16).reshape(n, 4, 4)[both],
+            np.asarray(ref.T_fwd)[both], atol=5e-4)
+        off = ~np.asarray(mask)
+        np.testing.assert_allclose(np.asarray(x_hat)[off],
+                                   np.asarray(x0)[off], atol=1e-6)

@@ -165,3 +165,34 @@ class TestRenderTrain:
         # skinning net always gets gradient from pred_weights reg; with
         # train_skinning_net the implicit-diff path adds render gradients
         assert skin_norm > 0
+
+
+class TestBf16Shading:
+    def test_bf16_close_to_f32_and_grads_finite(self, rng):
+        """bf16-matmul/f32-accum shading must stay visually indistinguish-
+        able from f32 (rgb atol ~1e-2) and keep training gradients finite.
+        Solvers run f32 in both, so sample sets are identical."""
+        cfg = small_config(train_skinning=True)
+        cfg_bf16 = cfg._replace(bf16_shading=True)
+        params, fd, inp, hit = make_inputs(cfg, rng, training=True)
+        key = jax.random.PRNGKey(7)
+
+        out32 = jax.jit(lambda p: render(p, cfg, inp, key, training=False))(
+            params)
+        out16 = jax.jit(
+            lambda p: render(p, cfg_bf16, inp, key, training=False))(params)
+        np.testing.assert_array_equal(
+            np.asarray(out32['network_body_mask']),
+            np.asarray(out16['network_body_mask']))
+        d = np.abs(np.asarray(out32['rgb_values'])
+                   - np.asarray(out16['rgb_values']))
+        assert d.max() < 1e-2, d.max()
+
+        def loss_fn(p):
+            out = render(p, cfg_bf16, inp, key, training=True)
+            return (jnp.mean(out['rgb_values'] ** 2)
+                    + jnp.mean((jnp.linalg.norm(out['grad_theta'], axis=-1)
+                                - 1.0) ** 2))
+        grads = jax.jit(jax.grad(loss_fn))(params)
+        for leaf in jax.tree.leaves(grads):
+            assert np.isfinite(np.asarray(leaf)).all()
