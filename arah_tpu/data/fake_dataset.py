@@ -206,6 +206,75 @@ def make_fake_raw_zju(root: str, subject='CoreView_313', n_frames=2,
     return misc_dir, model
 
 
+def make_fake_raw_h36m(root: str, subject='S9', n_frames=2,
+                       views=('54138969', '55011271'), img_size=256,
+                       n_verts=512, seed=0, verts_offset=0.04):
+    """RAW Human3.6M (Animatable-NeRF) layout under {subject}/Posing/:
+    `annots.npy` with mm-translation cameras and `ims` records naming the
+    cameras, EasyMocap `new_params`/`new_vertices`, per-camera jpgs and
+    `mask_cihp/` pngs — the tree `preprocess/preprocess_h36m.py`
+    (reference `preprocess_datasets/preprocess_H36M.py`) consumes. Raw
+    frames are consecutive (5*n_frames of them) so the script's own 5x
+    subsampling keeps n_frames. Returns (misc_dir, model)."""
+    rng = np.random.RandomState(seed)
+    model = synthetic_smpl(n_verts=n_verts, seed=seed)
+    misc_dir = os.path.join(root, 'body_models', 'misc')
+    write_smpl_misc(misc_dir, model)
+
+    sdir = os.path.join(root, subject, 'Posing')
+    os.makedirs(sdir, exist_ok=True)
+    Ks, Ds, Rs, Ts = [], [], [], []
+    cams = {}
+    for i, v in enumerate(views):
+        K, R, T = _camera(360.0 * i / len(views), c=img_size / 2)
+        Ks.append(K)
+        Ds.append(np.zeros((5, 1)))
+        Rs.append(R)
+        Ts.append(T.reshape(3, 1) * 1000.0)          # annots store mm
+        cams[v] = (K, R, T)
+    frame_idxs = list(range(5 * n_frames))
+    np.save(os.path.join(sdir, 'annots.npy'),
+            {'cams': {'K': Ks, 'D': Ds, 'R': Rs, 'T': Ts},
+             'ims': [{'ims': [f'{v}/{fidx:06d}.jpg' for v in views]}
+                     for fidx in frame_idxs]})
+
+    faces = np.asarray(model.faces)
+    for fidx in frame_idxs:
+        betas = (rng.randn(10) * 0.2).astype(np.float32)
+        pose = (rng.randn(72) * 0.15).astype(np.float32)
+        trans = (rng.randn(3) * 0.05).astype(np.float32)
+        poses = pose.copy()
+        poses[:3] = 0.0
+        os.makedirs(os.path.join(sdir, 'new_params'), exist_ok=True)
+        np.save(os.path.join(sdir, 'new_params', f'{fidx}.npy'),
+                {'Rh': pose[:3].reshape(1, 3), 'Th': trans.reshape(1, 3),
+                 'shapes': betas.reshape(1, 10), 'poses': poses.reshape(1, 72)})
+
+        out = lbs(model, jnp.asarray(betas)[None], jnp.asarray(pose)[None])
+        verts_world = np.asarray(out.verts[0]) + trans
+        os.makedirs(os.path.join(sdir, 'new_vertices'), exist_ok=True)
+        np.save(os.path.join(sdir, 'new_vertices', f'{fidx}.npy'),
+                (verts_world + verts_offset).astype(np.float32))
+
+        H = W = img_size
+        for v, (K, R, T) in cams.items():
+            pc = verts_world @ R.T + T
+            depth = pc[:, 2]
+            proj = pc[:, :2] / np.maximum(depth[:, None], 1e-6)
+            proj = proj * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]
+            face_buf, _, _ = native.rasterize_mesh(proj, depth, faces, H, W)
+            sil = (face_buf >= 0).astype(np.uint8)
+            img = np.zeros((H, W, 3), np.uint8)
+            img[sil > 0] = (180, 120, 90)
+            ip = os.path.join(sdir, v, f'{fidx:06d}.jpg')
+            mp = os.path.join(sdir, 'mask_cihp', v, f'{fidx:06d}.png')
+            for p in (ip, mp):
+                os.makedirs(os.path.dirname(p), exist_ok=True)
+            cv2.imwrite(ip, img)
+            cv2.imwrite(mp, sil * 255)
+    return misc_dir, model
+
+
 def make_fake_h36m_dataset(root: str, subject='S9', n_frames=2,
                            views=('1', '2'), n_verts=1024, seed=0):
     """H36M (Animatable-NeRF) layout: everything under {subject}/Posing/,

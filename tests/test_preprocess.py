@@ -15,7 +15,7 @@ import sys
 import numpy as np
 import pytest
 
-from arah_tpu.data.fake_dataset import make_fake_raw_zju
+from arah_tpu.data.fake_dataset import make_fake_raw_h36m, make_fake_raw_zju
 from arah_tpu.data.human_video import ZJUMoCapDataset
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -128,3 +128,59 @@ class TestPreprocessZJU:
         new_state, losses = step(state, batch, jax.random.PRNGKey(1))
         for k, v in losses.items():
             assert np.isfinite(float(v)), (k, float(v))
+
+
+class TestPreprocessH36M:
+    @pytest.fixture(scope='class')
+    def preprocessed_h36m(self, tmp_path_factory):
+        raw = str(tmp_path_factory.mktemp('raw_h36m'))
+        out = str(tmp_path_factory.mktemp('processed_h36m'))
+        misc_dir, model = make_fake_raw_h36m(
+            raw, n_frames=2, img_size=256, n_verts=512, verts_offset=0.04)
+        env = dict(os.environ, PYTHONPATH=REPO)
+        res = subprocess.run(
+            [sys.executable, os.path.join(REPO, 'preprocess',
+                                          'preprocess_h36m.py'),
+             '--data-dir', raw, '--out-dir', out, '--seqname', 'S9',
+             '--smpl-misc', misc_dir],
+            capture_output=True, text=True, env=env, cwd=REPO, timeout=600)
+        assert res.returncode == 0, res.stderr[-3000:]
+        return raw, out, misc_dir, model
+
+    def test_output_and_refit(self, preprocessed_h36m):
+        raw, out, misc_dir, model = preprocessed_h36m
+        from preprocess.smpl_frames import posed_vertices
+        seq = os.path.join(out, 'S9', 'Posing')
+        with open(os.path.join(seq, 'cam_params.json')) as f:
+            cams = json.load(f)
+        assert cams['all_cam_names'] == ['54138969', '55011271']
+        # mm -> m
+        assert np.linalg.norm(np.asarray(
+            cams['54138969']['T']).reshape(3)) < 100.0
+        # 5x subsampling keeps frames 0 and 5
+        for fidx in (0, 5):
+            assert os.path.exists(
+                os.path.join(seq, 'models', f'{fidx:06d}.npz'))
+            for v in cams['all_cam_names']:
+                assert os.path.exists(
+                    os.path.join(seq, v, f'{fidx:06d}.jpg'))
+                assert os.path.exists(
+                    os.path.join(seq, v, f'{fidx:06d}.png'))
+        rec = dict(np.load(os.path.join(seq, 'models', '000005.npz')))
+        target = np.load(os.path.join(raw, 'S9', 'Posing',
+                                      'new_vertices', '5.npy'))
+        err = np.abs(posed_vertices(model, rec) - target).max()
+        assert err < 1e-4, err
+
+    def test_dataset_loads(self, preprocessed_h36m):
+        from arah_tpu.data.human_video import H36MDataset
+        raw, out, misc_dir, _ = preprocessed_h36m
+        ds = H36MDataset(
+            out, smpl_misc_dir=misc_dir, subjects=('S9',), mode='train',
+            img_size=(128, 128), num_fg_samples=64, num_bg_samples=64,
+            sample_reg_surface=True, sample_inside=True, erode_mask=False,
+            seed=0, views=('54138969',))
+        assert len(ds) == 2
+        item = ds[0]
+        assert item['inputs'].shape == (128, 3)
+        assert item['inputs.mask'][:64].mean() > 0.9
