@@ -184,3 +184,99 @@ class TestPreprocessH36M:
         item = ds[0]
         assert item['inputs'].shape == (128, 3)
         assert item['inputs.mask'][:64].mean() > 0.9
+
+
+class TestExtractSmplParameters:
+    def test_pickle_to_npz_roundtrip(self, tmp_path):
+        """Fabricate SMPL model.pkl files (official field layout) from the
+        synthetic body, run the extraction script, and check
+        load_smpl_assets sees the identical model."""
+        import jax.numpy as jnp
+        from arah_tpu.core.smpl import load_smpl_assets, lbs
+        from arah_tpu.data.synthetic import synthetic_smpl
+
+        model = synthetic_smpl(n_verts=256)
+        nv = int(np.asarray(model.v_template).shape[0])
+        smpl_dir = tmp_path / 'smpl'
+        for g in ('male', 'female', 'neutral'):
+            d = {
+                'v_template': np.asarray(model.v_template, np.float64),
+                # official pickles carry 300 shape dirs; script keeps 10
+                'shapedirs': np.concatenate(
+                    [np.asarray(model.shapedirs, np.float64),
+                     np.zeros((nv, 3, 290))], axis=-1),
+                'posedirs': np.asarray(model.posedirs, np.float64
+                                       ).T.reshape(nv, 3, 207),
+                'J_regressor': np.asarray(model.J_regressor, np.float64),
+                'weights': np.asarray(model.lbs_weights, np.float64),
+                'f': np.asarray(model.faces, np.int64),
+                'kintree_table': np.stack(
+                    [np.asarray(model.parents), np.arange(24)]).astype(
+                        np.int64),
+            }
+            os.makedirs(smpl_dir / g, exist_ok=True)
+            import pickle
+            with open(smpl_dir / g / 'model.pkl', 'wb') as f:
+                pickle.dump(d, f)
+
+        out = tmp_path / 'misc'
+        env = dict(os.environ, PYTHONPATH=REPO)
+        res = subprocess.run(
+            [sys.executable,
+             os.path.join(REPO, 'preprocess', 'extract_smpl_parameters.py'),
+             '--smpl-dir', str(smpl_dir), '--out-dir', str(out)],
+            capture_output=True, text=True, env=env, cwd=REPO, timeout=300)
+        assert res.returncode == 0, res.stderr[-2000:]
+
+        loaded = load_smpl_assets(str(out), 'neutral')
+        rng = np.random.RandomState(0)
+        betas = jnp.asarray(rng.randn(1, 10).astype(np.float32) * 0.2)
+        pose = jnp.asarray(rng.randn(1, 72).astype(np.float32) * 0.2)
+        ref = lbs(model, betas, pose)
+        got = lbs(loaded, betas, pose)
+        np.testing.assert_allclose(np.asarray(got.verts),
+                                   np.asarray(ref.verts), atol=1e-5)
+
+
+class TestPreprocessAist:
+    def test_retarget_and_odp_load(self, preprocessed, tmp_path):
+        """Fake AIST++ motion pkl -> preprocess_aist.py retarget onto the
+        preprocessed fake-ZJU subject -> ODPDataset loads the pose dir."""
+        import pickle
+        raw, out, misc_dir, _ = preprocessed
+        rng = np.random.RandomState(1)
+        motion = {'smpl_poses': (rng.randn(6, 72) * 0.1).astype(np.float32)}
+        aist_dir = tmp_path / 'aist'
+        os.makedirs(aist_dir)
+        with open(aist_dir / 'gBR_sBM_c01.pkl', 'wb') as f:
+            pickle.dump(motion, f)
+
+        odp_root = tmp_path / 'odp'
+        env = dict(os.environ, PYTHONPATH=REPO)
+        res = subprocess.run(
+            [sys.executable,
+             os.path.join(REPO, 'preprocess', 'preprocess_aist.py'),
+             '--data-dir', str(aist_dir), '--seqname', 'gBR_sBM_c01',
+             '--in-dataset', out, '--subject', 'CoreView_313',
+             '--out-dir', str(odp_root), '--view', '1',
+             '--smpl-misc', misc_dir],
+            capture_output=True, text=True, env=env, cwd=REPO, timeout=300)
+        assert res.returncode == 0, res.stderr[-2000:]
+
+        pose_dir = os.path.join(str(odp_root), 'CoreView_313',
+                                'gBR_sBM_c01_view1')
+        # 6 frames / 2 (the script's ::2 subsample)
+        assert len([f for f in os.listdir(pose_dir)
+                    if f.endswith('.npz')]) == 3
+        rec = dict(np.load(os.path.join(pose_dir, '000000.npz')))
+        for k in ('minimal_shape', 'bone_transforms', 'Jtr_posed', 'trans'):
+            assert np.isfinite(rec[k]).all(), k
+
+        from arah_tpu.data.odp import ODPDataset
+        ds = ODPDataset(
+            str(odp_root), pose_dir='gBR_sBM_c01_view1', cam_name='1',
+            img_size=(128, 128), orig_img_size=(256, 256),
+            smpl_misc_dir=misc_dir, subjects=('CoreView_313',), seed=0)
+        assert len(ds) == 3
+        item = ds[0]
+        assert np.isfinite(item['inputs.ray_dirs']).all()
