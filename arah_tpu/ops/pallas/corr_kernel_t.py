@@ -241,8 +241,8 @@ def _on_tpu() -> bool:
     return jax.devices()[0].platform == 'tpu'
 
 
-@partial(jax.jit, static_argnames=('tile', 'max_steps', 'softmax_scale',
-                                   'interpret'))
+@partial(jax.jit, static_argnames=('tile', 'max_steps', 'cvg_thresh',
+                                   'softmax_scale', 'interpret'))
 def corr_search_pallas_t(x_bar, x0, T0_16, mask, skin_weights, skin_biases,
                          bones16, coord_min, coord_max, center,
                          tile: int = 2048, max_steps: int = 50,
@@ -312,3 +312,23 @@ def corr_search_pallas_t(x_bar, x0, T0_16, mask, skin_weights, skin_biases,
     )(*operands)
     x_hat_t, T16_t, valid = out
     return x_hat_t.T, T16_t.T, valid[0] > 0.5
+
+
+def skinning_dense_params(params, cfg):
+    """Collapse a kernel-compatible skinning MLP to dense (out, in)
+    weights + biases; returns None when the architecture uses features
+    the kernel doesn't implement (PE, skips, cond inputs, plain-softmax
+    24-out heads). cfg is an `nn.skinning.SkinningConfig`."""
+    if (getattr(cfg, 'multires', 0) > 0 or getattr(cfg, 'skip_in', ())
+            or getattr(cfg, 'cond_in', ()) or getattr(cfg, 'd_out', 25) != 25):
+        return None
+    wts, bs = [], []
+    for lyr in params['layers']:
+        if 'v' in lyr:
+            v = lyr['v']
+            w = lyr['g'] * v / jnp.linalg.norm(v, axis=1, keepdims=True)
+        else:
+            w = lyr['w']
+        wts.append(w)
+        bs.append(lyr['b'])
+    return tuple(wts), tuple(bs)

@@ -53,6 +53,19 @@ class RayTracerConfig(NamedTuple):
     # v5e), so the default stays 0 (dense, simpler graph); the eval-mode
     # early-exit while itself is +8% over the old fixed-50-iter fori.
     trace_chunk: int = 0
+    # fused transposed-layout Pallas Broyden kernel for the corr search
+    # (ops/pallas/corr_kernel_t.py): default-on — measured 61 ms vs 81 ms
+    # for the chunked XLA solve at 262k points on v5e (bench_corr.py).
+    # Used only when running on TPU, the point count divides the tile,
+    # and the skinning net is kernel-compatible (no PE/skips/cond);
+    # otherwise the XLA paths below apply.
+    use_pallas_corr: bool = True
+    pallas_corr_tile: int = 2048
+    # fused KNN+LBS+SIREN sphere-trace march kernel
+    # (ops/pallas/march_kernel.py); same guard conditions as the corr
+    # kernel plus a generated-SIREN handle (sdf_gen) from the renderer.
+    use_pallas_march: bool = True
+    pallas_march_tile: int = 256
 
 
 class SmplRef(NamedTuple):
@@ -87,10 +100,83 @@ def _nn_backward_map(points_world: jax.Array, smpl: SmplRef,
     return x_hat, x_norm, T_fwd
 
 
+class MarchCarry(NamedTuple):
+    t: jax.Array             # (N,) marching depth
+    unfinished: jax.Array    # (N,)
+    diverged: jax.Array      # (N,)
+    x_norm: jax.Array        # (N, 3) latest canonical estimate
+    T_fwd: jax.Array         # (N, 4, 4)
+
+
+def _march_xla(cfg: RayTracerConfig, sdf_fn: Callable,
+               frame: CanonicalFrame, smpl: SmplRef, cam_loc, ray_dirs,
+               near, far) -> MarchCarry:
+    """The sphere-trace march loop (XLA while_loop)."""
+    thresh = cfg.root_finding_threshold
+    n = ray_dirs.shape[0]
+    unfinished0 = near < far
+    carry = MarchCarry(near, unfinished0, near >= far,
+                       jnp.zeros((n, 3)), jnp.zeros((n, 4, 4)))
+
+    def body(c: MarchCarry):
+        pts = cam_loc + c.t[:, None] * ray_dirs
+        _, x_norm, T_fwd = _nn_backward_map(pts, smpl, frame)
+        sdf = sdf_to_metric(sdf_fn(x_norm), frame.coord_min,
+                            frame.coord_max)
+        # lanes outside the active set: the reference's 1e11 fill
+        sdf = jnp.where(c.unfinished, sdf, 1e11)
+
+        x_norm_new = jnp.where(c.unfinished[:, None], x_norm, c.x_norm)
+        T_new = jnp.where(c.unfinished[:, None, None], T_fwd, c.T_fwd)
+
+        sdf_march = jnp.clip(sdf, -cfg.clamp_dist, cfg.clamp_dist)
+        update = (jnp.abs(sdf_march) > thresh) & (jnp.abs(sdf) < 1e6)
+        t = jnp.where(update, c.t + sdf_march, c.t)
+        diverged = jnp.where(update, t >= far, c.diverged)
+        remove = (c.unfinished & (jnp.abs(sdf) <= thresh)) | diverged
+        unfinished = c.unfinished & ~remove
+        return MarchCarry(t, unfinished, diverged, x_norm_new, T_new)
+
+    # early exit once every ray in this block converged/diverged —
+    # the loop body is a no-op on finished rays, so this is value-
+    # identical to the fixed-iteration loop. The tracer runs under
+    # stop_gradient in training too, so the while_loop is never on
+    # the reverse-mode path.
+    def cond(ic):
+        i, c = ic
+        return (i < cfg.sphere_tracing_iters) & jnp.any(c.unfinished)
+    _, c = jax.lax.while_loop(
+        cond, lambda ic: (ic[0] + 1, body(ic[1])), (0, carry))
+    return c
+
+
+def _march(cfg: RayTracerConfig, sdf_fn: Callable, frame: CanonicalFrame,
+           smpl: SmplRef, cam_loc, ray_dirs, near, far,
+           sdf_gen=None) -> MarchCarry:
+    """March-loop dispatch: fused Pallas kernel on TPU when the generated
+    SIREN weights (sdf_gen) are provided, XLA while_loop otherwise."""
+    n = ray_dirs.shape[0]
+    if (cfg.use_pallas_march and sdf_gen is not None
+            and jax.default_backend() == 'tpu'
+            and n % cfg.pallas_march_tile == 0):
+        from arah_tpu.ops.pallas.march_kernel import sphere_march_pallas
+        t, unf, div, x_norm, T16 = sphere_march_pallas(
+            cam_loc, ray_dirs, near, far, smpl.verts_posed,
+            smpl.skinning_weights, frame.bone_transforms.reshape(24, 16),
+            list(sdf_gen.weights), list(sdf_gen.biases),
+            list(sdf_gen.freqs), list(sdf_gen.phases),
+            frame.coord_min, frame.coord_max, frame.center, frame.trans,
+            tile=cfg.pallas_march_tile, n_iters=cfg.sphere_tracing_iters,
+            thresh=cfg.root_finding_threshold, clamp_dist=cfg.clamp_dist)
+        return MarchCarry(t, unf, div, x_norm, T16.reshape(n, 4, 4))
+    return _march_xla(cfg, sdf_fn, frame, smpl, cam_loc, ray_dirs,
+                      near, far)
+
+
 def sphere_trace(cfg: RayTracerConfig, sdf_fn: Callable, skin_fn: Callable,
                  frame: CanonicalFrame, smpl: SmplRef, cam_loc: jax.Array,
                  ray_dirs: jax.Array, near: jax.Array, far: jax.Array,
-                 eval_mode: bool = False) -> SphereTraceResult:
+                 eval_mode: bool = False, sdf_gen=None) -> SphereTraceResult:
     """KNN-skinning sphere tracing + joint root-finding refinement.
 
     Mirrors `BodyRayTracing.sphere_tracing` (`ray_tracing.py:174-296`).
@@ -98,49 +184,11 @@ def sphere_trace(cfg: RayTracerConfig, sdf_fn: Callable, skin_fn: Callable,
     """
     thresh = cfg.root_finding_threshold
 
-    class Carry(NamedTuple):
-        t: jax.Array             # (N,) marching depth
-        unfinished: jax.Array    # (N,)
-        diverged: jax.Array      # (N,)
-        x_norm: jax.Array        # (N, 3) latest canonical estimate
-        T_fwd: jax.Array         # (N, 4, 4)
-
     def _trace_block(args) -> SphereTraceResult:
         cam_loc, ray_dirs, near, far = args
         n = ray_dirs.shape[0]
-        unfinished0 = near < far
-        carry = Carry(near, unfinished0, near >= far,
-                      jnp.zeros((n, 3)), jnp.zeros((n, 4, 4)))
-
-        def body(c: Carry):
-            pts = cam_loc + c.t[:, None] * ray_dirs
-            _, x_norm, T_fwd = _nn_backward_map(pts, smpl, frame)
-            sdf = sdf_to_metric(sdf_fn(x_norm), frame.coord_min,
-                                frame.coord_max)
-            # lanes outside the active set: the reference's 1e11 fill
-            sdf = jnp.where(c.unfinished, sdf, 1e11)
-
-            x_norm_new = jnp.where(c.unfinished[:, None], x_norm, c.x_norm)
-            T_new = jnp.where(c.unfinished[:, None, None], T_fwd, c.T_fwd)
-
-            sdf_march = jnp.clip(sdf, -cfg.clamp_dist, cfg.clamp_dist)
-            update = (jnp.abs(sdf_march) > thresh) & (jnp.abs(sdf) < 1e6)
-            t = jnp.where(update, c.t + sdf_march, c.t)
-            diverged = jnp.where(update, t >= far, c.diverged)
-            remove = (c.unfinished & (jnp.abs(sdf) <= thresh)) | diverged
-            unfinished = c.unfinished & ~remove
-            return Carry(t, unfinished, diverged, x_norm_new, T_new)
-
-        # early exit once every ray in this block converged/diverged —
-        # the loop body is a no-op on finished rays, so this is value-
-        # identical to the fixed-iteration loop. The tracer runs under
-        # stop_gradient in training too, so the while_loop is never on
-        # the reverse-mode path.
-        def cond(ic):
-            i, c = ic
-            return (i < cfg.sphere_tracing_iters) & jnp.any(c.unfinished)
-        _, c = jax.lax.while_loop(
-            cond, lambda ic: (ic[0] + 1, body(ic[1])), (0, carry))
+        c = _march(cfg, sdf_fn, frame, smpl, cam_loc, ray_dirs, near, far,
+                   sdf_gen=sdf_gen)
 
         # Joint root-finding refinement of (canonical point, depth).
         x_hat = unnormalize_canonical_points(
@@ -228,13 +276,17 @@ def canonicalize_samples(cfg: RayTracerConfig, sdf_fn: Callable,
                          skin_fn: Callable, frame: CanonicalFrame,
                          smpl: SmplRef, cam_loc: jax.Array,
                          ray_dirs: jax.Array, z_vals: jax.Array,
-                         sample_mask: jax.Array, eval_mode: bool = True):
+                         sample_mask: jax.Array, eval_mode: bool = True,
+                         skin_dense=None):
     """Backward-map all ray samples to canonical space via root-finding.
 
     Mirrors `inv_transform_points_opt` (`ray_tracing.py:403-461`): KNN-init
     (nearest posed SMPL vert's skinning weights) then Broyden canonical
     correspondence search; masked samples are frozen and report
     converge=False.
+
+    skin_dense: optional ((weights...), (biases...), softmax_scale) of the
+    collapsed skinning MLP — enables the fused Pallas corr kernel on TPU.
     """
     n, S = z_vals.shape
     pts_world = (cam_loc[:, None, :] + z_vals[..., None] * ray_dirs[:, None, :]
@@ -255,6 +307,25 @@ def canonicalize_samples(cfg: RayTracerConfig, sdf_fn: Callable,
             cvg_thresh=cfg.root_finding_threshold, active_init=m)
 
     n_total = x_bar.shape[0]
+    if (cfg.use_pallas_corr and skin_dense is not None
+            and jax.default_backend() == 'tpu'
+            and n_total % cfg.pallas_corr_tile == 0):
+        from arah_tpu.ops.pallas.corr_kernel_t import corr_search_pallas_t
+        wts, bs, softmax_scale = skin_dense
+        x_hat, T16, valid = corr_search_pallas_t(
+            x_bar, x0, T0.reshape(n_total, 16), flat_mask, list(wts),
+            list(bs), frame.bone_transforms.reshape(24, 16),
+            frame.coord_min, frame.coord_max, frame.center,
+            tile=cfg.pallas_corr_tile, max_steps=cfg.corr_max_steps,
+            cvg_thresh=cfg.root_finding_threshold,
+            softmax_scale=softmax_scale)
+        T_fwd = T16.reshape(n_total, 4, 4)
+        x_norm = normalize_canonical_points(
+            x_hat, frame.coord_min, frame.coord_max, frame.center)
+        return (x_norm.reshape(n, S, 3),
+                T_fwd.reshape(n, S, 4, 4),
+                (valid & flat_mask).reshape(n, S))
+
     # chunked solve in train mode too: +3% step time (15.5k -> 15.9k
     # rays/s on v5e) at a ~37 s warm compile; the solver runs under
     # stop_gradient so the lax.map/while never sits on the reverse path
@@ -290,18 +361,20 @@ def trace_and_sample(cfg: RayTracerConfig, sdf_fn: Callable,
                      skin_fn: Callable, frame: CanonicalFrame, smpl: SmplRef,
                      cam_loc: jax.Array, ray_dirs: jax.Array,
                      near: jax.Array, far: jax.Array, key,
-                     eval_mode: bool = False) -> TraceOutput:
+                     eval_mode: bool = False, skin_dense=None,
+                     sdf_gen=None) -> TraceOutput:
     """Full ray-tracing pass: sphere trace + sample + canonicalize.
 
     Mirrors `BodyRayTracing.forward` (`ray_tracing.py:51-172`). Everything
     is stop_gradient'ed by the renderer caller.
     """
     surf = sphere_trace(cfg, sdf_fn, skin_fn, frame, smpl, cam_loc,
-                        ray_dirs, near, far, eval_mode=eval_mode)
+                        ray_dirs, near, far, eval_mode=eval_mode,
+                        sdf_gen=sdf_gen)
     body_mask = ~surf.unconverged
     z_vals, sample_mask = sample_z_vals(
         cfg, key, body_mask, surf.start_dis, near, far, eval_mode)
     pts, tfs, cvg = canonicalize_samples(
         cfg, sdf_fn, skin_fn, frame, smpl, cam_loc, ray_dirs, z_vals,
-        sample_mask, eval_mode=eval_mode)
+        sample_mask, eval_mode=eval_mode, skin_dense=skin_dense)
     return TraceOutput(surf, SamplerResult(z_vals, sample_mask, pts, tfs, cvg))

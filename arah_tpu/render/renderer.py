@@ -239,11 +239,24 @@ def render(params, cfg: ModelConfig, inp: RenderInputs, key,
     sdf_fn_ng = make_sdf_fn(gen, stop_grad=True)
     skin_fn_ng = make_skin_fn(params, cfg, stop_grad=True)
 
+    # collapsed skinning weights for the fused Pallas corr kernel (TPU);
+    # None when the architecture isn't kernel-compatible
+    skin_dense = None
+    if cfg.tracer.use_pallas_corr:
+        from arah_tpu.ops.pallas.corr_kernel_t import skinning_dense_params
+        sd = skinning_dense_params(
+            jax.lax.stop_gradient(params['skinning']), cfg.skinning)
+        if sd is not None:
+            skin_dense = (sd[0], sd[1], cfg.skinning.softmax_scale)
+
     # --- ray tracing (no gradients, like the reference's no_grad block)
+    sdf_gen_ng = jax.lax.stop_gradient(gen) \
+        if cfg.tracer.use_pallas_march else None
     trace = trace_and_sample(
         cfg.tracer, sdf_fn_ng, skin_fn_ng, inp.frame, inp.smpl,
         jnp.broadcast_to(inp.cam_loc, inp.ray_dirs.shape), inp.ray_dirs,
-        inp.near, inp.far, k_trace, eval_mode=not training)
+        inp.near, inp.far, k_trace, eval_mode=not training,
+        skin_dense=skin_dense, sdf_gen=sdf_gen_ng)
     trace = jax.lax.stop_gradient(trace)
     samples = trace.samples
 

@@ -41,6 +41,10 @@ from arah_tpu.train.optim import OptimConfig, make_optimizer
 n_rays = int(os.environ.get('BENCH_RAYS', 2048))
 iters = int(os.environ.get('BENCH_ITERS', 5))
 cfg = _flagship_config()
+if os.environ.get('BENCH_BF16') in ('0', '1'):
+    cfg = cfg._replace(bf16_shading=os.environ['BENCH_BF16'] == '1')
+if os.environ.get('BENCH_NO_PALLAS_CORR') == '1':
+    cfg = cfg._replace(tracer=cfg.tracer._replace(use_pallas_corr=False))
 params, fd, _ = _build_scene(cfg, n_rays=16)
 batch = synthetic_train_batch(jax.random.PRNGKey(1), fd, n_blocks=1,
                               n_rays=n_rays, n_reg=1024)
@@ -71,6 +75,10 @@ def eval_bench():
     n_rays = int(os.environ.get('BENCH_EVAL_RAYS', 8192))
     iters = int(os.environ.get('BENCH_ITERS', 5))
     cfg = _flagship_config()
+    if os.environ.get('BENCH_BF16') in ('0', '1'):
+        cfg = cfg._replace(bf16_shading=os.environ['BENCH_BF16'] == '1')
+    if os.environ.get('BENCH_NO_PALLAS_CORR') == '1':
+        cfg = cfg._replace(tracer=cfg.tracer._replace(use_pallas_corr=False))
     params, fd, inp = _build_scene(cfg, n_rays=n_rays)
     key = jax.random.PRNGKey(1)
 

@@ -196,3 +196,88 @@ class TestCorrKernelTransposed:
         off = ~np.asarray(mask)
         np.testing.assert_allclose(np.asarray(x_hat)[off],
                                    np.asarray(x0)[off], atol=1e-6)
+
+
+def test_skinning_dense_params_collapse(rng):
+    """Dense collapse must reproduce wn_linear layer-by-layer, and reject
+    kernel-incompatible architectures."""
+    from arah_tpu.nn.skinning import SkinningConfig, init_skinning
+    from arah_tpu.nn.layers import wn_linear
+    from arah_tpu.ops.pallas.corr_kernel_t import skinning_dense_params
+
+    cfg = SkinningConfig()
+    params = init_skinning(jax.random.PRNGKey(3), cfg)
+    wts, bs = skinning_dense_params(params, cfg)
+    x = jnp.asarray(rng.randn(16, 3).astype(np.float32))
+    h = x
+    for lyr, w, b in zip(params['layers'], wts, bs):
+        np.testing.assert_allclose(np.asarray(h @ w.T + b),
+                                   np.asarray(wn_linear(lyr, h)), atol=1e-6)
+        h = wn_linear(lyr, h)
+
+    assert skinning_dense_params(params, cfg._replace(multires=2)) is None
+    assert skinning_dense_params(params, cfg._replace(d_out=24)) is None
+    assert skinning_dense_params(params, cfg._replace(skip_in=(2,))) is None
+
+
+class TestMarchKernel:
+    def test_matches_xla_march(self, rng):
+        """Fused march kernel vs the XLA while_loop march on a synthetic
+        body + generated SIREN."""
+        from arah_tpu.core.rays import ray_aabb
+        from arah_tpu.data.synthetic import synthetic_smpl
+        from arah_tpu.model import init_model_params, prepare_frame
+        from arah_tpu.render.ray_tracing import (RayTracerConfig, SmplRef,
+                                                 _march_xla)
+        from arah_tpu.render.renderer import generate_sdf, make_sdf_fn
+        from arah_tpu.ops.pallas.march_kernel import sphere_march_pallas
+        from test_renderer import small_config
+
+        cfg = small_config()
+        model = synthetic_smpl(n_verts=460)
+        params = init_model_params(jax.random.PRNGKey(0), cfg,
+                                   n_latent_frames=2)
+        pose = jnp.asarray((rng.randn(72) * 0.2).astype(np.float32))
+        betas = jnp.asarray((rng.randn(10) * 0.3).astype(np.float32))
+        fd = prepare_frame(model, betas, pose,
+                           jnp.asarray([0.1, 0.0, 0.2], jnp.float32))
+        gen = generate_sdf(params, cfg, fd.rots, fd.Jtrs,
+                           params['latent'][0])
+        sdf_fn = make_sdf_fn(gen, stop_grad=False)
+
+        n = 256
+        cam = jnp.asarray([0.0, 0.3, -2.5])
+        tgt = rng.randint(0, 460, n)
+        dirs = fd.smpl.verts_posed[tgt] - cam
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        cam_b = jnp.broadcast_to(cam, dirs.shape)
+        near, far, hit = ray_aabb(fd.bounds_min, fd.bounds_max, cam_b, dirs)
+
+        tcfg = RayTracerConfig(sphere_tracing_iters=20)
+        ref = _march_xla(tcfg, sdf_fn, fd.frame, fd.smpl, cam_b, dirs,
+                         near, far)
+        t, unf, div, x_norm, T16 = sphere_march_pallas(
+            cam_b, dirs, near, far, fd.smpl.verts_posed,
+            fd.smpl.skinning_weights,
+            fd.frame.bone_transforms.reshape(24, 16),
+            list(gen.weights), list(gen.biases), list(gen.freqs),
+            list(gen.phases), fd.frame.coord_min, fd.frame.coord_max,
+            fd.frame.center, fd.frame.trans, tile=128, n_iters=20,
+            thresh=tcfg.root_finding_threshold,
+            clamp_dist=tcfg.clamp_dist)
+
+        agree_unf = (np.asarray(ref.unfinished) == np.asarray(unf)).mean()
+        agree_div = (np.asarray(ref.diverged) == np.asarray(div)).mean()
+        assert agree_unf > 0.98, agree_unf
+        assert agree_div > 0.98, agree_div
+        both = ~np.asarray(ref.unfinished) & ~np.asarray(unf) \
+            & ~np.asarray(ref.diverged) & ~np.asarray(div)
+        # random-init SIREN: only a minority of rays converge
+        assert both.mean() > 0.1, both.mean()
+        np.testing.assert_allclose(np.asarray(t)[both],
+                                   np.asarray(ref.t)[both], atol=1e-3)
+        np.testing.assert_allclose(np.asarray(x_norm)[both],
+                                   np.asarray(ref.x_norm)[both], atol=5e-3)
+        np.testing.assert_allclose(
+            np.asarray(T16).reshape(-1, 4, 4)[both],
+            np.asarray(ref.T_fwd)[both], atol=5e-3)
