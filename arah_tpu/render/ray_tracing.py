@@ -66,6 +66,14 @@ class RayTracerConfig(NamedTuple):
     # kernel plus a generated-SIREN handle (sdf_gen) from the renderer.
     use_pallas_march: bool = True
     pallas_march_tile: int = 256
+    # fused joint (canonical point, depth) iso-surface Broyden kernel
+    # (ops/pallas/iso_kernel.py); needs BOTH skin_dense and sdf_gen.
+    # Default OFF: measured SLOWER than the XLA solver (44 ms vs ~20 ms
+    # loop time at 8192 rays x 50 iters on v5e, bench_iso.py) — the iso
+    # solve runs over rays (not ray-samples), which is small enough that
+    # the dense XLA loop is already MXU-bound; kept for study.
+    use_pallas_iso: bool = False
+    pallas_iso_tile: int = 512
 
 
 class SmplRef(NamedTuple):
@@ -176,13 +184,44 @@ def _march(cfg: RayTracerConfig, sdf_fn: Callable, frame: CanonicalFrame,
 def sphere_trace(cfg: RayTracerConfig, sdf_fn: Callable, skin_fn: Callable,
                  frame: CanonicalFrame, smpl: SmplRef, cam_loc: jax.Array,
                  ray_dirs: jax.Array, near: jax.Array, far: jax.Array,
-                 eval_mode: bool = False, sdf_gen=None) -> SphereTraceResult:
+                 eval_mode: bool = False, sdf_gen=None,
+                 skin_dense=None) -> SphereTraceResult:
     """KNN-skinning sphere tracing + joint root-finding refinement.
 
     Mirrors `BodyRayTracing.sphere_tracing` (`ray_tracing.py:174-296`).
     cam_loc: (N, 3) per-ray origins; ray_dirs: (N, 3); near/far: (N,).
     """
     thresh = cfg.root_finding_threshold
+
+    def _iso(cam_loc, ray_dirs, valid, x_hat, z0, T_fwd):
+        n = ray_dirs.shape[0]
+        if (cfg.use_pallas_iso and sdf_gen is not None
+                and skin_dense is not None
+                and jax.default_backend() == 'tpu'
+                and n % cfg.pallas_iso_tile == 0):
+            from arah_tpu.ops.pallas.iso_kernel import iso_refine_pallas
+            from arah_tpu.solver.root_find import (IsoSurfaceResult,
+                                                   iso_init_inv_jacobian)
+            J_inv0 = iso_init_inv_jacobian(sdf_fn, skin_fn, frame,
+                                           ray_dirs, x_hat)
+            u0 = jnp.concatenate([x_hat, z0[:, None]], axis=-1)
+            wts, bs, softmax_scale = skin_dense
+            u, T16, ok = iso_refine_pallas(
+                cam_loc, ray_dirs, u0, T_fwd.reshape(n, 16),
+                J_inv0.reshape(n, 16), valid, list(wts), list(bs),
+                frame.bone_transforms.reshape(24, 16),
+                list(sdf_gen.weights), list(sdf_gen.biases),
+                list(sdf_gen.freqs), list(sdf_gen.phases),
+                frame.coord_min, frame.coord_max, frame.center,
+                frame.trans, tile=cfg.pallas_iso_tile,
+                max_steps=cfg.iso_max_steps, cvg_thresh=thresh,
+                softmax_scale=softmax_scale)
+            return IsoSurfaceResult(u[:, :3], u[:, 3],
+                                    T16.reshape(n, 4, 4), ok)
+        return search_iso_surface_depth(
+            sdf_fn, skin_fn, frame, cam_loc, ray_dirs, valid,
+            x_hat, z0, T_fwd, max_steps=cfg.iso_max_steps,
+            cvg_thresh=thresh)
 
     def _trace_block(args) -> SphereTraceResult:
         cam_loc, ray_dirs, near, far = args
@@ -194,10 +233,7 @@ def sphere_trace(cfg: RayTracerConfig, sdf_fn: Callable, skin_fn: Callable,
         x_hat = unnormalize_canonical_points(
             c.x_norm, frame.coord_min, frame.coord_max, frame.center)
         valid = (~c.diverged) if eval_mode else jnp.ones((n,), bool)
-        iso = search_iso_surface_depth(
-            sdf_fn, skin_fn, frame, cam_loc, ray_dirs, valid,
-            x_hat, c.t, c.T_fwd, max_steps=cfg.iso_max_steps,
-            cvg_thresh=thresh)
+        iso = _iso(cam_loc, ray_dirs, valid, x_hat, c.t, c.T_fwd)
 
         converged = iso.converged & (iso.z_depth >= near) \
             & (iso.z_depth <= far)
@@ -370,7 +406,7 @@ def trace_and_sample(cfg: RayTracerConfig, sdf_fn: Callable,
     """
     surf = sphere_trace(cfg, sdf_fn, skin_fn, frame, smpl, cam_loc,
                         ray_dirs, near, far, eval_mode=eval_mode,
-                        sdf_gen=sdf_gen)
+                        sdf_gen=sdf_gen, skin_dense=skin_dense)
     body_mask = ~surf.unconverged
     z_vals, sample_mask = sample_z_vals(
         cfg, key, body_mask, surf.start_dis, near, far, eval_mode)

@@ -242,7 +242,7 @@ def render(params, cfg: ModelConfig, inp: RenderInputs, key,
     # collapsed skinning weights for the fused Pallas corr kernel (TPU);
     # None when the architecture isn't kernel-compatible
     skin_dense = None
-    if cfg.tracer.use_pallas_corr:
+    if cfg.tracer.use_pallas_corr or cfg.tracer.use_pallas_iso:
         from arah_tpu.ops.pallas.corr_kernel_t import skinning_dense_params
         sd = skinning_dense_params(
             jax.lax.stop_gradient(params['skinning']), cfg.skinning)
@@ -251,7 +251,8 @@ def render(params, cfg: ModelConfig, inp: RenderInputs, key,
 
     # --- ray tracing (no gradients, like the reference's no_grad block)
     sdf_gen_ng = jax.lax.stop_gradient(gen) \
-        if cfg.tracer.use_pallas_march else None
+        if (cfg.tracer.use_pallas_march or cfg.tracer.use_pallas_iso) \
+        else None
     trace = trace_and_sample(
         cfg.tracer, sdf_fn_ng, skin_fn_ng, inp.frame, inp.smpl,
         jnp.broadcast_to(inp.cam_loc, inp.ray_dirs.shape), inp.ray_dirs,

@@ -111,6 +111,30 @@ class IsoSurfaceResult(NamedTuple):
     converged: jax.Array    # (N,) bool
 
 
+def iso_init_inv_jacobian(sdf_fn: Callable, skin_fn: Callable,
+                          frame: CanonicalFrame, cam_rays: jax.Array,
+                          x_hat_0: jax.Array) -> jax.Array:
+    """Init inverse Jacobian for the joint iso-surface solve: rows
+    [grad_sdf, 0] ; [J_lbs, -ray], inverted (N, 4, 4). Shared by the XLA
+    solver below and the fused Pallas kernel (ops/pallas/iso_kernel.py),
+    which takes only the iteration loop."""
+    def sdf_metric(x_hat):
+        x_norm = normalize_canonical_points(
+            x_hat, frame.coord_min, frame.coord_max, frame.center)
+        return sdf_to_metric(sdf_fn(x_norm), frame.coord_min,
+                             frame.coord_max)
+
+    J_lbs = forward_skinning_jac(skin_fn, frame, x_hat_0)       # (N, 3, 3)
+    grad_sdf = jax.vmap(jax.jacfwd(lambda p: sdf_metric(p[None])[0]))(
+        x_hat_0)
+    n = x_hat_0.shape[0]
+    top = jnp.concatenate(
+        [grad_sdf[:, None, :], jnp.zeros((n, 1, 1))], axis=-1)
+    bottom = jnp.concatenate([J_lbs, -cam_rays[..., None]], axis=-1)
+    J_init = jnp.concatenate([top, bottom], axis=-2)            # (N, 4, 4)
+    return inv4x4(J_init)
+
+
 def search_iso_surface_depth(sdf_fn: Callable, skin_fn: Callable,
                              frame: CanonicalFrame, cam_pos: jax.Array,
                              cam_rays: jax.Array, valid_mask: jax.Array,
@@ -140,15 +164,8 @@ def search_iso_surface_depth(sdf_fn: Callable, skin_fn: Callable,
         err_sdf = sdf_metric(x_hat)
         return jnp.concatenate([err_sdf[:, None], err_corr], axis=-1), T
 
-    # Init Jacobian rows: [grad_sdf, 0] ; [J_lbs, -ray].
-    J_lbs = forward_skinning_jac(skin_fn, frame, x_hat_0)       # (N, 3, 3)
-    grad_sdf = jax.vmap(jax.jacfwd(lambda p: sdf_metric(p[None])[0]))(x_hat_0)
-    top = jnp.concatenate(
-        [grad_sdf[:, None, :], jnp.zeros_like(z_0)[:, None, None]], axis=-1)
-    bottom = jnp.concatenate([J_lbs, -cam_rays[..., None]], axis=-1)
-    J_init = jnp.concatenate([top, bottom], axis=-2)            # (N, 4, 4)
-    J_inv_0 = inv4x4(J_init)
-
+    J_inv_0 = iso_init_inv_jacobian(sdf_fn, skin_fn, frame, cam_rays,
+                                    x_hat_0)
     u0 = jnp.concatenate([x_hat_0, z_0[:, None]], axis=-1)
     res = broyden(g, u0, T_fwd_0, J_inv_0, max_steps=max_steps,
                   cvg_thresh=cvg_thresh, active_init=valid_mask)

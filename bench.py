@@ -45,6 +45,10 @@ if os.environ.get('BENCH_BF16') in ('0', '1'):
     cfg = cfg._replace(bf16_shading=os.environ['BENCH_BF16'] == '1')
 if os.environ.get('BENCH_NO_PALLAS_CORR') == '1':
     cfg = cfg._replace(tracer=cfg.tracer._replace(use_pallas_corr=False))
+if os.environ.get('BENCH_XLA_ONLY') == '1':
+    cfg = cfg._replace(tracer=cfg.tracer._replace(
+        use_pallas_corr=False, use_pallas_march=False,
+        use_pallas_iso=False))
 params, fd, _ = _build_scene(cfg, n_rays=16)
 batch = synthetic_train_batch(jax.random.PRNGKey(1), fd, n_blocks=1,
                               n_rays=n_rays, n_reg=1024)
@@ -79,6 +83,10 @@ def eval_bench():
         cfg = cfg._replace(bf16_shading=os.environ['BENCH_BF16'] == '1')
     if os.environ.get('BENCH_NO_PALLAS_CORR') == '1':
         cfg = cfg._replace(tracer=cfg.tracer._replace(use_pallas_corr=False))
+    if os.environ.get('BENCH_XLA_ONLY') == '1':
+        cfg = cfg._replace(tracer=cfg.tracer._replace(
+            use_pallas_corr=False, use_pallas_march=False,
+            use_pallas_iso=False))
     params, fd, inp = _build_scene(cfg, n_rays=n_rays)
     key = jax.random.PRNGKey(1)
 

@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Drift-robust ablation bench: measures configurations INTERLEAVED in one
+process (A,B,A,B,...) and reports per-config medians, because the shared
+axon TPU's wall-clock throughput drifts by >2x between processes minutes
+apart (observed 11.5k-26.5k rays/s for the identical train step), making
+sequential cross-process comparisons meaningless.
+"""
+import argparse
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--phase', default='train', choices=['train', 'eval'])
+    p.add_argument('--rounds', type=int, default=6)
+    p.add_argument('--iters', type=int, default=5)
+    p.add_argument('--rays', type=int, default=2048)
+    p.add_argument('--configs', default='default,xla_f32')
+    args = p.parse_args()
+
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from arah_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from __graft_entry__ import _flagship_config, _build_scene
+
+    def variant(name):
+        cfg = _flagship_config()
+        if name == 'default':
+            return cfg
+        if name == 'xla_f32':
+            return cfg._replace(bf16_shading=False, tracer=cfg.tracer._replace(
+                use_pallas_corr=False, use_pallas_march=False,
+                use_pallas_iso=False))
+        if name == 'xla_bf16':
+            return cfg._replace(tracer=cfg.tracer._replace(
+                use_pallas_corr=False, use_pallas_march=False,
+                use_pallas_iso=False))
+        if name == 'kernels_f32':
+            return cfg._replace(bf16_shading=False)
+        if name == 'iso_on':
+            return cfg._replace(tracer=cfg.tracer._replace(
+                use_pallas_iso=True))
+        raise ValueError(name)
+
+    names = args.configs.split(',')
+    fns = {}
+    if args.phase == 'train':
+        from arah_tpu.data.batch import synthetic_train_batch
+        from arah_tpu.parallel.train_step import TrainState, make_train_step
+        from arah_tpu.train.loss import LossWeights
+        from arah_tpu.train.optim import OptimConfig, make_optimizer
+        cfg0 = variant(names[0])
+        params, fd, _ = _build_scene(cfg0, n_rays=16)
+        batch = synthetic_train_batch(jax.random.PRNGKey(1), fd,
+                                      n_blocks=1, n_rays=args.rays,
+                                      n_reg=1024)
+        loss_w = LossWeights(n_ray_loss=args.rays)
+        optimizer, _ = make_optimizer(OptimConfig(train_skinning_net=True),
+                                      params)
+        state = TrainState(params, optimizer.init(params), jnp.int32(0))
+        key = jax.random.PRNGKey(2)
+        for name in names:
+            step = make_train_step(variant(name), loss_w, optimizer)
+            fns[name] = lambda step=step: step(state, batch, key)[1]['loss']
+    else:
+        from arah_tpu.render.renderer import render
+        cfg0 = variant(names[0])
+        params, fd, inp = _build_scene(cfg0, n_rays=args.rays)
+        key = jax.random.PRNGKey(1)
+        for name in names:
+            cfg = variant(name)
+            f = jax.jit(lambda p, i, cfg=cfg: render(
+                p, cfg, i, key, training=False)['rgb_values'])
+            fns[name] = lambda f=f: f(params, inp)
+
+    for name, f in fns.items():
+        t0 = time.perf_counter()
+        jax.block_until_ready(f())
+        print(f'compiled {name} in {time.perf_counter() - t0:.0f}s',
+              flush=True)
+
+    times = {n: [] for n in names}
+    for r in range(args.rounds):
+        for name in names:
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                out = fns[name]()
+            jax.block_until_ready(out)
+            dt = (time.perf_counter() - t0) / args.iters
+            times[name].append(dt)
+            print(f'round {r} {name:12s} {args.rays / dt:9.0f} rays/s',
+                  flush=True)
+
+    print('--- medians ---')
+    base = None
+    for name in names:
+        med = float(np.median(times[name]))
+        rays_s = args.rays / med
+        if base is None:
+            base = rays_s
+        print(f'{name:12s} {rays_s:9.0f} rays/s   '
+              f'({rays_s / base:.2f}x vs {names[0]})')
+
+
+if __name__ == '__main__':
+    main()

@@ -281,3 +281,104 @@ class TestMarchKernel:
         np.testing.assert_allclose(
             np.asarray(T16).reshape(-1, 4, 4)[both],
             np.asarray(ref.T_fwd)[both], atol=5e-3)
+
+
+class TestIsoKernel:
+    def test_matches_search_iso_surface_depth(self, rng):
+        """Fused 4D iso-surface Broyden vs the XLA solver."""
+        from arah_tpu.core.rays import ray_aabb
+        from arah_tpu.data.synthetic import synthetic_smpl
+        from arah_tpu.model import init_model_params, prepare_frame
+        from arah_tpu.render.ray_tracing import RayTracerConfig, _march_xla
+        from arah_tpu.render.renderer import (generate_sdf, make_sdf_fn,
+                                              make_skin_fn)
+        from arah_tpu.solver.root_find import (iso_init_inv_jacobian,
+                                               search_iso_surface_depth)
+        from arah_tpu.core.body import unnormalize_canonical_points
+        from arah_tpu.ops.pallas.iso_kernel import iso_refine_pallas
+        from arah_tpu.ops.pallas.corr_kernel_t import skinning_dense_params
+        from test_renderer import small_config
+
+        cfg = small_config()
+        model = synthetic_smpl(n_verts=460)
+        params = init_model_params(jax.random.PRNGKey(0), cfg,
+                                   n_latent_frames=2)
+        pose = jnp.asarray((rng.randn(72) * 0.2).astype(np.float32))
+        betas = jnp.asarray((rng.randn(10) * 0.3).astype(np.float32))
+        fd = prepare_frame(model, betas, pose,
+                           jnp.asarray([0.1, 0.0, 0.2], jnp.float32))
+        gen = generate_sdf(params, cfg, fd.rots, fd.Jtrs,
+                           params['latent'][0])
+        sdf_fn = make_sdf_fn(gen)
+        skin_fn = make_skin_fn(params, cfg)
+
+        n = 256
+        cam = jnp.asarray([0.0, 0.3, -2.5])
+        tgt = rng.randint(0, 460, n)
+        dirs = fd.smpl.verts_posed[tgt] - cam
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        cam_b = jnp.broadcast_to(cam, dirs.shape)
+        near, far, hit = ray_aabb(fd.bounds_min, fd.bounds_max, cam_b, dirs)
+
+        tcfg = RayTracerConfig(sphere_tracing_iters=12, iso_max_steps=20)
+        c = _march_xla(tcfg, sdf_fn, fd.frame, fd.smpl, cam_b, dirs,
+                       near, far)
+        x_hat = unnormalize_canonical_points(
+            c.x_norm, fd.frame.coord_min, fd.frame.coord_max,
+            fd.frame.center)
+        valid = ~c.diverged
+
+        ref = search_iso_surface_depth(
+            sdf_fn, skin_fn, fd.frame, cam_b, dirs, valid, x_hat, c.t,
+            c.T_fwd, max_steps=20)
+
+        J_inv0 = iso_init_inv_jacobian(sdf_fn, skin_fn, fd.frame, dirs,
+                                       x_hat)
+        u0 = jnp.concatenate([x_hat, c.t[:, None]], axis=-1)
+        wts, bs = skinning_dense_params(params['skinning'], cfg.skinning)
+        u, T16, ok = iso_refine_pallas(
+            cam_b, dirs, u0, c.T_fwd.reshape(n, 16),
+            J_inv0.reshape(n, 16), valid, list(wts), list(bs),
+            fd.frame.bone_transforms.reshape(24, 16),
+            list(gen.weights), list(gen.biases), list(gen.freqs),
+            list(gen.phases), fd.frame.coord_min, fd.frame.coord_max,
+            fd.frame.center, fd.frame.trans, tile=128, max_steps=20,
+            softmax_scale=cfg.skinning.softmax_scale)
+
+        v_ref = np.asarray(ref.converged)
+        v_ker = np.asarray(ok)
+        agree = (v_ref == v_ker).mean()
+        assert agree > 0.97, agree
+        both = v_ref & v_ker
+        assert both.mean() > 0.1, both.mean()
+        # the 4D problem has multiple valid roots along a ray (front/back
+        # surface); a few rays may converge to a different-but-valid root
+        # under different float ordering, so (a) the bulk must match the
+        # XLA root exactly and (b) EVERY kernel-valid ray must satisfy the
+        # XLA residual g(u) ~ 0.
+        dx = np.abs(np.asarray(u[:, :3]) - np.asarray(ref.x_hat))
+        match = (dx.max(-1) < 1e-3)[both]
+        assert match.mean() > 0.9, match.mean()
+        from arah_tpu.core.body import (normalize_canonical_points,
+                                        sdf_to_metric)
+        from arah_tpu.solver.root_find import forward_skinning
+        x_k = u[:, :3]
+        z_k = u[:, 3]
+        xb_k, T_k = forward_skinning(skin_fn, fd.frame, x_k)
+        err_corr = xb_k - (cam_b + z_k[:, None] * dirs - fd.frame.trans)
+        x_norm_k = normalize_canonical_points(
+            x_k, fd.frame.coord_min, fd.frame.coord_max, fd.frame.center)
+        err_sdf = sdf_to_metric(sdf_fn(x_norm_k), fd.frame.coord_min,
+                                fd.frame.coord_max)
+        gnorm = np.linalg.norm(
+            np.concatenate([np.asarray(err_sdf)[:, None],
+                            np.asarray(err_corr)], axis=-1), axis=-1)
+        assert gnorm[v_ker].max() < 5e-5, gnorm[v_ker].max()
+        np.testing.assert_allclose(
+            np.asarray(T16).reshape(n, 4, 4)[v_ker],
+            np.asarray(T_k)[v_ker], atol=5e-3)
+        # masked-out rays frozen at init
+        off = ~np.asarray(valid)
+        if off.any():
+            np.testing.assert_allclose(np.asarray(u[:, :3])[off],
+                                       np.asarray(x_hat)[off], atol=1e-6)

@@ -15,6 +15,10 @@ import os
 import jax
 import numpy as np
 
+from arah_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def main():
     p = argparse.ArgumentParser()
