@@ -24,6 +24,14 @@ from arah_tpu.solver.root_find import (CanonicalFrame, search_canonical_corr,
                                        search_iso_surface_depth)
 
 
+def _pallas_ok() -> bool:
+    """Kernel-dispatch gate: on by default on TPU; ARAH_FORCE_PALLAS=1
+    lets CPU tests drive the full dispatch path in interpret mode."""
+    import os
+    return (jax.default_backend() == 'tpu'
+            or os.environ.get('ARAH_FORCE_PALLAS') == '1')
+
+
 class RayTracerConfig(NamedTuple):
     root_finding_threshold: float = 1e-5
     sphere_tracing_iters: int = 50
@@ -165,7 +173,7 @@ def _march(cfg: RayTracerConfig, sdf_fn: Callable, frame: CanonicalFrame,
     SIREN weights (sdf_gen) are provided, XLA while_loop otherwise."""
     n = ray_dirs.shape[0]
     if (cfg.use_pallas_march and sdf_gen is not None
-            and jax.default_backend() == 'tpu'
+            and _pallas_ok()
             and n % cfg.pallas_march_tile == 0):
         from arah_tpu.ops.pallas.march_kernel import sphere_march_pallas
         t, unf, div, x_norm, T16 = sphere_march_pallas(
@@ -197,7 +205,7 @@ def sphere_trace(cfg: RayTracerConfig, sdf_fn: Callable, skin_fn: Callable,
         n = ray_dirs.shape[0]
         if (cfg.use_pallas_iso and sdf_gen is not None
                 and skin_dense is not None
-                and jax.default_backend() == 'tpu'
+                and _pallas_ok()
                 and n % cfg.pallas_iso_tile == 0):
             from arah_tpu.ops.pallas.iso_kernel import iso_refine_pallas
             from arah_tpu.solver.root_find import (IsoSurfaceResult,
@@ -344,7 +352,7 @@ def canonicalize_samples(cfg: RayTracerConfig, sdf_fn: Callable,
 
     n_total = x_bar.shape[0]
     if (cfg.use_pallas_corr and skin_dense is not None
-            and jax.default_backend() == 'tpu'
+            and _pallas_ok()
             and n_total % cfg.pallas_corr_tile == 0):
         from arah_tpu.ops.pallas.corr_kernel_t import corr_search_pallas_t
         wts, bs, softmax_scale = skin_dense

@@ -382,3 +382,56 @@ class TestIsoKernel:
         if off.any():
             np.testing.assert_allclose(np.asarray(u[:, :3])[off],
                                        np.asarray(x_hat)[off], atol=1e-6)
+
+
+class TestRenderDispatch:
+    def test_full_render_with_kernels_interpret(self, rng, monkeypatch):
+        """Drive the REAL dispatch plumbing (renderer -> trace_and_sample
+        -> kernels) on CPU via ARAH_FORCE_PALLAS=1 (kernels run in
+        interpret mode) and compare against the XLA path."""
+        from arah_tpu.model import init_model_params, prepare_frame
+        from arah_tpu.core.rays import ray_aabb
+        from arah_tpu.data.synthetic import synthetic_smpl
+        from arah_tpu.render.renderer import RenderInputs, render
+        from test_renderer import small_config
+
+        cfg = small_config()
+        # small tiles so the 32-ray scene divides them
+        cfg = cfg._replace(tracer=cfg.tracer._replace(
+            pallas_march_tile=16, pallas_corr_tile=128, pallas_iso_tile=16,
+            use_pallas_iso=True))
+        model = synthetic_smpl(n_verts=460)
+        params = init_model_params(jax.random.PRNGKey(0), cfg,
+                                   n_latent_frames=2)
+        pose = jnp.asarray((rng.randn(72) * 0.2).astype(np.float32))
+        betas = jnp.asarray((rng.randn(10) * 0.3).astype(np.float32))
+        fd = prepare_frame(model, betas, pose,
+                           jnp.asarray([0.1, 0.0, 0.2], jnp.float32))
+        n = 32
+        cam = jnp.asarray([0.0, 0.3, -2.5])
+        tgt = rng.randint(0, 460, n)
+        dirs = fd.smpl.verts_posed[tgt] - cam
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        near, far, _ = ray_aabb(fd.bounds_min, fd.bounds_max,
+                                jnp.broadcast_to(cam, dirs.shape), dirs)
+        latent = params['latent'][0]
+        inp = RenderInputs(
+            cam_loc=cam, ray_dirs=dirs, near=near, far=far,
+            frame=fd.frame, smpl=fd.smpl, rots=fd.rots, Jtrs=fd.Jtrs,
+            rots_full=fd.rots_full, Jtrs_posed=fd.Jtrs_posed,
+            pose_cond_extra={'latent_code': latent[None]},
+            geo_latent=latent)
+        key = jax.random.PRNGKey(5)
+
+        out_xla = render(params, cfg, inp, key, training=False)
+        monkeypatch.setenv('ARAH_FORCE_PALLAS', '1')
+        out_ker = render(params, cfg, inp, key, training=False)
+
+        m_x = np.asarray(out_xla['network_body_mask'])
+        m_k = np.asarray(out_ker['network_body_mask'])
+        assert (m_x == m_k).mean() > 0.9
+        both = m_x & m_k
+        if both.any():
+            d = np.abs(np.asarray(out_xla['rgb_values'])[both]
+                       - np.asarray(out_ker['rgb_values'])[both])
+            assert np.median(d) < 1e-3, np.median(d)
