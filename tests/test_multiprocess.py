@@ -96,3 +96,62 @@ def test_two_process_grad_sync(tmp_path):
     # and they match the single-process oracle on the same global batch
     sp = _run_single(sp_dir)
     _assert_close(fps[0], sp, rtol=1e-4, what='multi vs single process')
+
+
+@pytest.mark.slow
+def test_two_process_eval(tmp_path):
+    """2-process distributed validate.py on a tiny fixture: frames split
+    by rank, metrics allgathered, rank 0 writes a metrics.json covering
+    ALL frames (reference DDP-validation semantics,
+    `lightning_model.py:250-283,357-378`)."""
+    import json
+    from arah_tpu.data.fake_dataset import make_fake_zju_dataset
+
+    root = str(tmp_path / 'data')
+    # 3 frames x 1 test view = 3 items: odd count exercises the
+    # ragged allgather padding/trim path
+    misc_dir, _ = make_fake_zju_dataset(root, n_frames=3, views=('1', '7'),
+                                        img_size=64, n_verts=256)
+    out_dir = str(tmp_path / 'run')
+    cfg_path = str(tmp_path / 'cfg.yaml')
+    with open(cfg_path, 'w') as f:
+        f.write(f"""inherit_from: configs/fake/FAKE-ZJU.yaml
+data:
+  path: {root}
+  smpl_misc: {misc_dir}
+  img_size: [64, 64]
+model:
+  decoder_kwargs: {{hidden_features: 64, num_hidden_layers: 2, use_FiLM: true}}
+  skinning_decoder_kwargs: {{d_hidden: 64, n_layers: 2}}
+  renderer_kwargs: {{d_hidden: 64, n_layers: 2, multires_view: 4}}
+  n_steps: 8
+  near_surface_samples: 2
+  far_surface_samples: 2
+training:
+  out_dir: {out_dir}
+""")
+    worker = os.path.join(REPO, 'tests', 'eval_mp_worker.py')
+    port = _free_port()
+    procs = []
+    for rank in range(2):
+        cmd = [sys.executable, worker, cfg_path, '--novel-pose',
+               '--chunk', '1024',
+               '--coordinator', f'127.0.0.1:{port}',
+               '--num-processes', '2', '--process-id', str(rank)]
+        procs.append(subprocess.Popen(
+            cmd, env=_env(2), cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=1500)
+        outs.append(out.decode())
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f'rank {rank}:\n{out[-3000:]}'
+
+    with open(os.path.join(out_dir, 'val', 'metrics.json')) as f:
+        metrics = json.load(f)
+    # 3 frames x 1 test view, each evaluated exactly once
+    assert len(metrics['per_frame']) == 3
+    for m in metrics['per_frame']:
+        assert np.isfinite(m['psnr'])
+    assert np.isfinite(metrics['mean']['psnr'])

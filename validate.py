@@ -33,7 +33,16 @@ def main():
     p.add_argument('--devices', type=int, default=0,
                    help='shard eval ray chunks over the first N devices '
                         '(0 = single device)')
+    p.add_argument('--coordinator', default=None,
+                   help='jax.distributed coordinator address host:port')
+    p.add_argument('--num-processes', type=int, default=None)
+    p.add_argument('--process-id', type=int, default=None)
     args = p.parse_args()
+
+    from arah_tpu.parallel import distributed
+    distributed.initialize(coordinator=args.coordinator,
+                           num_processes=args.num_processes,
+                           process_id=args.process_id)
 
     from arah_tpu.config import load_config, model_config_from_cfg
     from arah_tpu.config.factory import get_dataset, init_params_from_cfg
@@ -84,7 +93,15 @@ def main():
     all_metrics = []
     n = len(dataset) if args.max_frames < 0 \
         else min(args.max_frames, len(dataset))
+    # multi-process DP over frames: rank r evaluates frames r, r+P, ...
+    # (the arah_tpu equivalent of the reference's DDP validation split +
+    # all_gather, `lightning_model.py:250-283`)
+    proc_id = jax.process_index()
+    proc_count = jax.process_count()
+    local_rows = []
     for i in range(n):
+        if i % proc_count != proc_id:
+            continue
         item = dataset[i]
         latent = None
         if 'latent' in params:
@@ -95,20 +112,41 @@ def main():
             latent = params['latent'][d_idx]
         m = evaluate_frame(params, model_cfg, item, latent,
                            chunk=args.chunk, mesh=mesh)
-        all_metrics.append({k: float(m[k])
-                            for k in ('psnr', 'ssim', perc_key)})
+        row = {k: float(m[k]) for k in ('psnr', 'ssim', perc_key)}
+        local_rows.append([float(i), row['psnr'], row['ssim'],
+                           row[perc_key]])
         save_image(os.path.join(out_dir, f'rgb_{i:06d}.png'), m['rgb_pred'])
         save_image(os.path.join(out_dir, f'normal_{i:06d}.png'),
                    m['normal_pred'])
         save_image(os.path.join(out_dir, f'gt_{i:06d}.png'), m['rgb_gt'])
         print(f'[{i+1}/{n}] ' + ' '.join(
-            f'{k}={v:.4f}' for k, v in all_metrics[-1].items()), flush=True)
+            f'{k}={v:.4f}' for k, v in row.items()), flush=True)
 
+    if proc_count > 1:
+        # pad ragged local rows (world size may not divide n), allgather,
+        # trim the -1 padding on every rank — reference
+        # `lightning_model.py:357-378` semantics
+        from jax.experimental import multihost_utils
+        n_local_max = -(-n // proc_count)
+        rows = np.full((n_local_max, 4), -1.0, np.float32)
+        if local_rows:
+            rows[:len(local_rows)] = np.asarray(local_rows, np.float32)
+        gathered = np.asarray(
+            multihost_utils.process_allgather(rows)).reshape(-1, 4)
+        gathered = gathered[gathered[:, 0] >= 0]
+        gathered = gathered[np.argsort(gathered[:, 0])]
+    else:
+        gathered = np.asarray(local_rows, np.float32).reshape(-1, 4)
+
+    all_metrics = [{'psnr': float(r[1]), 'ssim': float(r[2]),
+                    perc_key: float(r[3])} for r in gathered]
     summary = {k: float(np.mean([m[k] for m in all_metrics]))
                for k in ('psnr', 'ssim', perc_key)}
-    with open(os.path.join(out_dir, 'metrics.json'), 'w') as f:
-        json.dump({'per_frame': all_metrics, 'mean': summary}, f, indent=2)
-    print('mean:', summary)
+    if proc_id == 0:
+        with open(os.path.join(out_dir, 'metrics.json'), 'w') as f:
+            json.dump({'per_frame': all_metrics, 'mean': summary},
+                      f, indent=2)
+        print('mean:', summary)
 
 
 if __name__ == '__main__':
