@@ -126,7 +126,8 @@ def normals_from_depth(points_cam, image_mask):
     normals[:, :-1, 0] = -zx
     normals[:, :, 2] = 1.0
     n = np.linalg.norm(normals, axis=-1, keepdims=True)
-    normals = normals / n
+    with np.errstate(divide='ignore', invalid='ignore'):
+        normals = normals / n
     normals[~np.isfinite(normals)] = -1
     return ((normals + 1) / 2).clip(0, 1)
 

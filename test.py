@@ -38,7 +38,16 @@ def main():
     p.add_argument('--free-viewpoint', type=int, default=0,
                    help='render N spiral novel views of each frame '
                         '(reference gen_path)')
+    p.add_argument('--coordinator', default=None,
+                   help='jax.distributed coordinator address host:port')
+    p.add_argument('--num-processes', type=int, default=None)
+    p.add_argument('--process-id', type=int, default=None)
     args = p.parse_args()
+
+    from arah_tpu.parallel import distributed
+    distributed.initialize(coordinator=args.coordinator,
+                           num_processes=args.num_processes,
+                           process_id=args.process_id)
 
     from arah_tpu.config import load_config, model_config_from_cfg
     from arah_tpu.config.factory import get_dataset, init_params_from_cfg
@@ -100,8 +109,13 @@ def main():
         spiral = gen_spiral_path(w2cs * max(1, 4 // len(w2cs)),
                                  num_render_views=args.free_viewpoint)
 
-    frames = []
+    # multi-process DP over animation frames (reference test.py DDP,
+    # `test.py:68-73`): rank r renders frames r, r+P, ...
+    proc_id = jax.process_index()
+    proc_count = jax.process_count()
     for i in range(len(dataset)):
+        if i % proc_count != proc_id:
+            continue
         item = dataset[i]
         if spiral is not None:
             # cycle the spiral cameras over frames
@@ -125,11 +139,24 @@ def main():
         save_image(os.path.join(vis_dir, f'normal_{i:06d}.png'), normal)
         save_image(os.path.join(vis_dir, f'front_{i:06d}.png'), front)
         save_image(os.path.join(vis_dir, f'back_{i:06d}.png'), back)
-        frames.append(np.concatenate([pred, normal, front, back], axis=1))
         print(f'[{i+1}/{len(dataset)}] rendered', flush=True)
 
-    write_video(os.path.join(vis_dir, 'vis.mp4'), frames)
-    print('wrote', os.path.join(vis_dir, 'vis.mp4'))
+    if proc_count > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices('test_render_done')
+    if proc_id == 0:
+        # assemble the mp4 from every rank's pngs (all on shared storage)
+        import cv2
+        frames = []
+        for i in range(len(dataset)):
+            row = []
+            for kind in ('rgb', 'normal', 'front', 'back'):
+                img = cv2.imread(
+                    os.path.join(vis_dir, f'{kind}_{i:06d}.png'))
+                row.append(img[..., ::-1] / 255.0)
+            frames.append(np.concatenate(row, axis=1))
+        write_video(os.path.join(vis_dir, 'vis.mp4'), frames)
+        print('wrote', os.path.join(vis_dir, 'vis.mp4'))
 
 
 if __name__ == '__main__':
