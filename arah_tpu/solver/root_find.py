@@ -58,13 +58,20 @@ def forward_skinning(skin_fn: Callable, frame: CanonicalFrame,
 def forward_skinning_jac(skin_fn: Callable, frame: CanonicalFrame,
                          x_hat: jax.Array) -> jax.Array:
     """(N, 3) -> (N, 3, 3) exact Jacobian d fwd / d x_hat (includes the
-    dw/dx term through the skinning network)."""
+    dw/dx term through the skinning network).
 
-    def fwd_single(p):
-        x_bar, _ = forward_skinning(skin_fn, frame, p[None])
-        return x_bar[0]
-
-    return jax.vmap(jax.jacfwd(fwd_single))(x_hat)
+    Computed as three batched jvp passes (one per input basis vector)
+    instead of vmap(jacfwd(per-point)): identical values, but every pass
+    is a plain (N, in) x (in, out) matmul chain — the vmapped-tangent
+    form lowers to awkward (N, 3, in) generalized dots on TPU.
+    """
+    f = lambda p: forward_skinning(skin_fn, frame, p)[0]
+    cols = []
+    for k in range(3):
+        t = jnp.zeros_like(x_hat).at[:, k].set(1.0)
+        _, jv = jax.jvp(f, (x_hat,), (t,))
+        cols.append(jv)
+    return jnp.stack(cols, axis=-1)
 
 
 def init_transforms_from_weights(w: jax.Array,
@@ -125,8 +132,13 @@ def iso_init_inv_jacobian(sdf_fn: Callable, skin_fn: Callable,
                              frame.coord_max)
 
     J_lbs = forward_skinning_jac(skin_fn, frame, x_hat_0)       # (N, 3, 3)
-    grad_sdf = jax.vmap(jax.jacfwd(lambda p: sdf_metric(p[None])[0]))(
-        x_hat_0)
+    # batched-jvp gradient (see forward_skinning_jac note)
+    grads = []
+    for k in range(3):
+        t = jnp.zeros_like(x_hat_0).at[:, k].set(1.0)
+        _, jv = jax.jvp(sdf_metric, (x_hat_0,), (t,))
+        grads.append(jv)
+    grad_sdf = jnp.stack(grads, axis=-1)
     n = x_hat_0.shape[0]
     top = jnp.concatenate(
         [grad_sdf[:, None, :], jnp.zeros((n, 1, 1))], axis=-1)
