@@ -47,6 +47,14 @@ def render_frame_rays(params, cfg: ModelConfig, fd, item, latent,
         from jax.sharding import NamedSharding, PartitionSpec as P
         shard = NamedSharding(mesh, P('data'))
         rep = NamedSharding(mesh, P())
+        # this path partitions via jit/GSPMD sharding propagation (not
+        # shard_map), and pallas_call carries no SPMD partitioning rule —
+        # force the XLA solver/march paths under a mesh. (The sharded
+        # TRAIN step uses shard_map, where kernels run per-device and
+        # stay enabled.)
+        cfg = cfg._replace(tracer=cfg.tracer._replace(
+            use_pallas_corr=False, use_pallas_march=False,
+            use_pallas_iso=False))
         # params/frame state may be committed to a single device (e.g.
         # restored from a checkpoint); replicate them over the mesh so
         # they are compatible with the sharded ray arrays
