@@ -31,6 +31,37 @@ def _render_eval_chunk(params, cfg: ModelConfig, inp: RenderInputs, key):
             out['surface_depth'], out['surface_converged'])
 
 
+@partial(jax.jit, static_argnames=('cfg', 'mesh'))
+def _render_eval_chunk_sharded(params, cfg: ModelConfig, inp: RenderInputs,
+                               key, mesh):
+    """Mesh-sharded eval chunk: rays split over the 'data' axis with
+    shard_map (manual SPMD), so the Pallas tracer kernels run per-device
+    — GSPMD sharding propagation has no partitioning rule for
+    pallas_call. Everything but the per-ray arrays is replicated."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    ray_spec = RenderInputs(
+        cam_loc=P(), ray_dirs=P('data'), near=P('data'), far=P('data'),
+        frame=P(), smpl=P(), rots=P(), Jtrs=P(), rots_full=P(),
+        Jtrs_posed=P(), pose_cond_extra=P(), geo_latent=P(),
+        rots_noise=P(), view_noise=P(), points_uniform=P(),
+        points_skinning=P(), points_inside=P(), points_eik=P())
+
+    def block(params, inp, key):
+        out = render(params, cfg, inp, key, training=False)
+        return (out['rgb_values'], out['weights_sum'],
+                out['surface_depth'], out['surface_converged'])
+
+    return shard_map(
+        block, mesh=mesh,
+        in_specs=(P(), ray_spec, P()),
+        out_specs=(P('data'), P('data'), P('data'), P('data')),
+        # same waiver as parallel/train_step.py: the solver loop carries
+        # mix replicated frame state with per-device ray state
+        check_vma=False)(params, inp, key)
+
+
 def render_frame_rays(params, cfg: ModelConfig, fd, item, latent,
                       chunk: int = 16384, key=None, mesh=None):
     """Render every sampled ray of an eval item; returns (rgb (N, 3),
@@ -47,14 +78,6 @@ def render_frame_rays(params, cfg: ModelConfig, fd, item, latent,
         from jax.sharding import NamedSharding, PartitionSpec as P
         shard = NamedSharding(mesh, P('data'))
         rep = NamedSharding(mesh, P())
-        # this path partitions via jit/GSPMD sharding propagation (not
-        # shard_map), and pallas_call carries no SPMD partitioning rule —
-        # force the XLA solver/march paths under a mesh. (The sharded
-        # TRAIN step uses shard_map, where kernels run per-device and
-        # stay enabled.)
-        cfg = cfg._replace(tracer=cfg.tracer._replace(
-            use_pallas_corr=False, use_pallas_march=False,
-            use_pallas_iso=False))
         # params/frame state may be committed to a single device (e.g.
         # restored from a checkpoint); replicate them over the mesh so
         # they are compatible with the sharded ray arrays
@@ -84,6 +107,8 @@ def render_frame_rays(params, cfg: ModelConfig, fd, item, latent,
             frame=fd.frame, smpl=fd.smpl, rots=fd.rots, Jtrs=fd.Jtrs,
             rots_full=fd.rots_full, Jtrs_posed=fd.Jtrs_posed,
             pose_cond_extra=pose_cond_extra, geo_latent=geo_latent)
+        if mesh is not None:
+            return _render_eval_chunk_sharded(params, cfg, inp, key, mesh)
         return _render_eval_chunk(params, cfg, inp, key)
 
     rgb = np.zeros((n, 3), np.float32)
