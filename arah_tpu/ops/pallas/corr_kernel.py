@@ -1,5 +1,11 @@
 """Pallas TPU kernel: fully-fused canonical-correspondence Broyden search.
 
+SUPERSEDED by `corr_kernel_t.py` (round 2): this (T, k) column layout
+uses 1/128 VPU lanes on the small-vector algebra and measured 10x
+slower than chunked XLA; the transposed (k, T) version beats XLA and is
+the production path. Kept as the documented baseline for the layout
+study (PERF.md finding 4).
+
 One kernel invocation solves `fwd_skin(x_hat) = x_bar` for a tile of
 points end-to-end: the (dense, weight-norm-collapsed) skinning MLP weights
 and bone transforms live in VMEM, and the whole Broyden iteration —
