@@ -111,6 +111,11 @@ def model_config_from_cfg(cfg: dict, low_vram: bool = False):
         n_steps=m.get('n_steps', 64),
         near_surface_vol_samples=m.get('near_surface_samples', 16),
         far_surface_vol_samples=m.get('far_surface_samples', 16),
+        # per-kernel escape hatches back to the XLA paths (see also the
+        # global ARAH_DISABLE_PALLAS=1 env switch)
+        use_pallas_corr=m.get('use_pallas_corr', True),
+        use_pallas_march=m.get('use_pallas_march', True),
+        use_pallas_iso=m.get('use_pallas_iso', False),
     )
 
     return ModelConfig(

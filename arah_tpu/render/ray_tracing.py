@@ -26,8 +26,12 @@ from arah_tpu.solver.root_find import (CanonicalFrame, search_canonical_corr,
 
 def _pallas_ok() -> bool:
     """Kernel-dispatch gate: on by default on TPU; ARAH_FORCE_PALLAS=1
-    lets CPU tests drive the full dispatch path in interpret mode."""
+    lets CPU tests drive the full dispatch path in interpret mode;
+    ARAH_DISABLE_PALLAS=1 is the global escape hatch back to the XLA
+    solver/march paths (config: model.use_pallas_{corr,march,iso})."""
     import os
+    if os.environ.get('ARAH_DISABLE_PALLAS') == '1':
+        return False
     return (jax.default_backend() == 'tpu'
             or os.environ.get('ARAH_FORCE_PALLAS') == '1')
 

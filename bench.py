@@ -25,6 +25,22 @@ import time
 
 import numpy as np
 
+
+
+def apply_env_overrides(cfg):
+    """Ablation knobs shared by the train and eval benches."""
+    if os.environ.get('BENCH_BF16') in ('0', '1'):
+        cfg = cfg._replace(bf16_shading=os.environ['BENCH_BF16'] == '1')
+    if os.environ.get('BENCH_NO_PALLAS_CORR') == '1':
+        cfg = cfg._replace(
+            tracer=cfg.tracer._replace(use_pallas_corr=False))
+    if os.environ.get('BENCH_XLA_ONLY') == '1':
+        cfg = cfg._replace(tracer=cfg.tracer._replace(
+            use_pallas_corr=False, use_pallas_march=False,
+            use_pallas_iso=False))
+    return cfg
+
+
 TRAIN_SNIPPET = r'''
 import json, os, time, sys
 sys.path.insert(0, os.getcwd())
@@ -41,14 +57,8 @@ from arah_tpu.train.optim import OptimConfig, make_optimizer
 n_rays = int(os.environ.get('BENCH_RAYS', 2048))
 iters = int(os.environ.get('BENCH_ITERS', 5))
 cfg = _flagship_config()
-if os.environ.get('BENCH_BF16') in ('0', '1'):
-    cfg = cfg._replace(bf16_shading=os.environ['BENCH_BF16'] == '1')
-if os.environ.get('BENCH_NO_PALLAS_CORR') == '1':
-    cfg = cfg._replace(tracer=cfg.tracer._replace(use_pallas_corr=False))
-if os.environ.get('BENCH_XLA_ONLY') == '1':
-    cfg = cfg._replace(tracer=cfg.tracer._replace(
-        use_pallas_corr=False, use_pallas_march=False,
-        use_pallas_iso=False))
+from bench import apply_env_overrides
+cfg = apply_env_overrides(cfg)
 params, fd, _ = _build_scene(cfg, n_rays=16)
 batch = synthetic_train_batch(jax.random.PRNGKey(1), fd, n_blocks=1,
                               n_rays=n_rays, n_reg=1024)
@@ -79,14 +89,7 @@ def eval_bench():
     n_rays = int(os.environ.get('BENCH_EVAL_RAYS', 8192))
     iters = int(os.environ.get('BENCH_ITERS', 5))
     cfg = _flagship_config()
-    if os.environ.get('BENCH_BF16') in ('0', '1'):
-        cfg = cfg._replace(bf16_shading=os.environ['BENCH_BF16'] == '1')
-    if os.environ.get('BENCH_NO_PALLAS_CORR') == '1':
-        cfg = cfg._replace(tracer=cfg.tracer._replace(use_pallas_corr=False))
-    if os.environ.get('BENCH_XLA_ONLY') == '1':
-        cfg = cfg._replace(tracer=cfg.tracer._replace(
-            use_pallas_corr=False, use_pallas_march=False,
-            use_pallas_iso=False))
+    cfg = apply_env_overrides(cfg)
     params, fd, inp = _build_scene(cfg, n_rays=n_rays)
     key = jax.random.PRNGKey(1)
 
@@ -139,7 +142,9 @@ def main():
         with open(bpath) as f:
             bb = json.load(f)
         vs = float(bb.get('cpu_like_for_like_ratio', 0.0))
-        method = 'same-host CPU like-for-like (BENCH_BASELINE.json)'
+        method = ('same-host CPU like-for-like TRAIN-step ratio '
+                  '(BENCH_BASELINE.json; fixed measurement, not '
+                  'rescaled by this run)')
 
     print(json.dumps({
         'metric': metric,

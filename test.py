@@ -153,8 +153,14 @@ def main():
             for kind in ('rgb', 'normal', 'front', 'back'):
                 img = cv2.imread(
                     os.path.join(vis_dir, f'{kind}_{i:06d}.png'))
+                if img is None:
+                    print(f'WARNING: missing {kind}_{i:06d}.png '
+                          '(rank output not visible?) — skipping frame')
+                    row = None
+                    break
                 row.append(img[..., ::-1] / 255.0)
-            frames.append(np.concatenate(row, axis=1))
+            if row is not None:
+                frames.append(np.concatenate(row, axis=1))
         write_video(os.path.join(vis_dir, 'vis.mp4'), frames)
         print('wrote', os.path.join(vis_dir, 'vis.mp4'))
 
