@@ -111,6 +111,24 @@ def eval_bench():
 def main():
     result = None
 
+    # fail fast + attributably if the device backend is down (the axon
+    # TPU tunnel can go UNAVAILABLE; jax init then hangs indefinitely)
+    probe_timeout = float(os.environ.get('BENCH_PROBE_TIMEOUT', 180))
+    if probe_timeout > 0:
+        try:
+            proc = subprocess.run(
+                [sys.executable, '-c',
+                 'import jax; jax.devices(); print("ok")'],
+                capture_output=True, text=True, timeout=probe_timeout)
+            ok = 'ok' in proc.stdout
+        except subprocess.TimeoutExpired:
+            ok = False
+        if not ok:
+            print('BENCH ERROR: device backend unavailable '
+                  '(jax.devices() probe failed/hung) — no measurement '
+                  'taken', file=sys.stderr)
+            sys.exit(3)
+
     train_timeout = float(os.environ.get('BENCH_TRAIN_TIMEOUT', 1200))
     if train_timeout > 0:
         try:
