@@ -24,6 +24,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from arah_tpu.ops.pallas.precision import dot_split3, split_f32
+
 
 def _hier_softmax_rows(logits):
     """Hierarchical softmax on (25, T) logits -> (24, T) probabilities.
@@ -102,7 +104,7 @@ def _inv3x3_rows(m9):
 
 
 def _make_kernel(n_layers, max_steps, cvg_thresh, dvg_thresh, eps,
-                 softmax_scale):
+                 softmax_scale, precision='f32'):
     def kernel(xbar_ref, x0_ref, t0_ref, mask_ref, *refs):
         # refs: [W1..Wn ((out, in)), b1..bn ((out, 1)) interleaved,
         #        bones_t (16, 24), frame (1, 8)] + outs
@@ -125,16 +127,24 @@ def _make_kernel(n_layers, max_steps, cvg_thresh, dvg_thresh, eps,
         x_bar = xbar_ref[:]                  # (3, T)
         bones_t = bones_ref[:]               # (16, 24)
 
+        # hoisted per-tile weight splits for the bf16x3 matmuls (the
+        # first layer stays plain f32: its K=3 contraction is free and
+        # it touches the raw solver positions)
+        if precision == 'split3':
+            w_split = [split_f32(w_refs[i][:]) for i in range(n_layers)]
+
+        def layer_dot(i, h):
+            if precision == 'split3' and i > 0:
+                return dot_split3(w_split[i][0], w_split[i][1], h)
+            return jnp.dot(w_refs[i][:], h,
+                           preferred_element_type=jnp.float32)
+
         def fwd(x):
             xn = x * scale + offset
             h = xn
             for i in range(n_layers - 1):
-                h = jnp.dot(w_refs[i][:], h,
-                            preferred_element_type=jnp.float32) + b_refs[i][:]
-                h = _softplus100(h)
-            logits = jnp.dot(w_refs[-1][:], h,
-                             preferred_element_type=jnp.float32) \
-                + b_refs[-1][:]
+                h = _softplus100(layer_dot(i, h) + b_refs[i][:])
+            logits = layer_dot(n_layers - 1, h) + b_refs[-1][:]
             w = _hier_softmax_rows(logits * softmax_scale)     # (24, T)
             T16 = jnp.dot(bones_t, w,
                           preferred_element_type=jnp.float32)  # (16, T)
@@ -242,13 +252,15 @@ def _on_tpu() -> bool:
 
 
 @partial(jax.jit, static_argnames=('tile', 'max_steps', 'cvg_thresh',
-                                   'softmax_scale', 'interpret'))
+                                   'softmax_scale', 'interpret',
+                                   'precision'))
 def corr_search_pallas_t(x_bar, x0, T0_16, mask, skin_weights, skin_biases,
                          bones16, coord_min, coord_max, center,
                          tile: int = 2048, max_steps: int = 50,
                          cvg_thresh: float = 1e-5,
                          softmax_scale: float = 20.0,
-                         interpret: bool | None = None):
+                         interpret: bool | None = None,
+                         precision: str = 'f32'):
     """Fused Broyden canonical-correspondence search, (k, T) layout.
 
     Args:
@@ -257,6 +269,14 @@ def corr_search_pallas_t(x_bar, x0, T0_16, mask, skin_weights, skin_biases,
       skin_weights: list of dense (out, in) skinning MLP weights (weight
         norm already collapsed); skin_biases: list of (out,);
       bones16: (24, 16); coord_min/coord_max: scalars; center: (3,).
+      precision: 'f32' (default) or 'split3' (hidden/final MLP matmuls
+        as three bf16 MXU passes; see ops/pallas/precision.py).
+        MEASURED NEGATIVE on v5e: 78.0 vs 61.9 ms at forced 50
+        iterations x 262k points — this kernel is not matmul-bound
+        (isolated chained (128,128)x(128,2048) dots DO run 2x faster in
+        bf16: 94 vs 47 TFLOP/s), so the extra passes + casts lose to
+        MXU/VPU overlap. Kept as an option for future reuse in
+        matmul-bound kernels.
     Returns (x_hat (N, 3), T16 (N, 16), valid (N,)).
     """
     if interpret is None:
@@ -292,7 +312,7 @@ def corr_search_pallas_t(x_bar, x0, T0_16, mask, skin_weights, skin_biases,
 
     out = pl.pallas_call(
         _make_kernel(n_layers, max_steps, cvg_thresh, 1.0, 1e-6,
-                     softmax_scale),
+                     softmax_scale, precision=precision),
         grid=(n // tile,),
         in_specs=in_specs,
         out_specs=(

@@ -73,6 +73,11 @@ class RayTracerConfig(NamedTuple):
     # otherwise the XLA paths below apply.
     use_pallas_corr: bool = True
     pallas_corr_tile: int = 2048
+    # matmul precision inside the fused solver kernels: 'f32' (default)
+    # or 'split3' (three bf16 MXU passes ~= f32 accuracy; measured
+    # SLOWER on v5e — the solver kernels are not matmul-bound, see
+    # ops/pallas/precision.py and PERF.md).
+    pallas_precision: str = 'f32'
     # fused KNN+LBS+SIREN sphere-trace march kernel
     # (ops/pallas/march_kernel.py); same guard conditions as the corr
     # kernel plus a generated-SIREN handle (sdf_gen) from the renderer.
@@ -366,7 +371,8 @@ def canonicalize_samples(cfg: RayTracerConfig, sdf_fn: Callable,
             frame.coord_min, frame.coord_max, frame.center,
             tile=cfg.pallas_corr_tile, max_steps=cfg.corr_max_steps,
             cvg_thresh=cfg.root_finding_threshold,
-            softmax_scale=softmax_scale)
+            softmax_scale=softmax_scale,
+            precision=cfg.pallas_precision)
         T_fwd = T16.reshape(n_total, 4, 4)
         x_norm = normalize_canonical_points(
             x_hat, frame.coord_min, frame.coord_max, frame.center)

@@ -60,17 +60,20 @@ def forward_skinning_jac(skin_fn: Callable, frame: CanonicalFrame,
     """(N, 3) -> (N, 3, 3) exact Jacobian d fwd / d x_hat (includes the
     dw/dx term through the skinning network).
 
-    Computed as three batched jvp passes (one per input basis vector)
-    instead of vmap(jacfwd(per-point)): identical values, but every pass
-    is a plain (N, in) x (in, out) matmul chain — the vmapped-tangent
-    form lowers to awkward (N, 3, in) generalized dots on TPU.
+    Computed as jax.linearize + three batched tangent passes (one per
+    input basis vector) instead of vmap(jacfwd(per-point)): identical
+    values, but every pass is a plain (N, in) x (in, out) matmul chain —
+    the vmapped-tangent form lowers to awkward (N, 3, in) generalized
+    dots on TPU — and the primal network evaluation runs ONCE instead of
+    once per basis vector (jvp re-traces it per call; XLA CSE is not
+    reliable across the big fused subgraphs).
     """
     f = lambda p: forward_skinning(skin_fn, frame, p)[0]
+    _, f_lin = jax.linearize(f, x_hat)
     cols = []
     for k in range(3):
         t = jnp.zeros_like(x_hat).at[:, k].set(1.0)
-        _, jv = jax.jvp(f, (x_hat,), (t,))
-        cols.append(jv)
+        cols.append(f_lin(t))
     return jnp.stack(cols, axis=-1)
 
 
@@ -124,21 +127,30 @@ def iso_init_inv_jacobian(sdf_fn: Callable, skin_fn: Callable,
     """Init inverse Jacobian for the joint iso-surface solve: rows
     [grad_sdf, 0] ; [J_lbs, -ray], inverted (N, 4, 4). Shared by the XLA
     solver below and the fused Pallas kernel (ops/pallas/iso_kernel.py),
-    which takes only the iteration loop."""
-    def sdf_metric(x_hat):
+    which takes only the iteration loop.
+
+    Both Jacobians come out of ONE jax.linearize of the joint
+    (fwd_skin, sdf) map: the normalize + primal network evaluations run
+    once, followed by three batched tangent passes (one per input basis
+    vector; see the forward_skinning_jac note) — vs six full jvp passes
+    when the two Jacobians are computed separately (~1/3 of this block's
+    network FLOPs saved; it was ~28 ms of an eval step at 8192 rays)."""
+    def joint(x_hat):
         x_norm = normalize_canonical_points(
             x_hat, frame.coord_min, frame.coord_max, frame.center)
-        return sdf_to_metric(sdf_fn(x_norm), frame.coord_min,
-                             frame.coord_max)
+        x_bar, _ = skinning(x_hat, skin_fn(x_norm), frame.bone_transforms)
+        s = sdf_to_metric(sdf_fn(x_norm), frame.coord_min, frame.coord_max)
+        return x_bar, s
 
-    J_lbs = forward_skinning_jac(skin_fn, frame, x_hat_0)       # (N, 3, 3)
-    # batched-jvp gradient (see forward_skinning_jac note)
-    grads = []
+    _, joint_lin = jax.linearize(joint, x_hat_0)
+    jl_cols, gs_cols = [], []
     for k in range(3):
         t = jnp.zeros_like(x_hat_0).at[:, k].set(1.0)
-        _, jv = jax.jvp(sdf_metric, (x_hat_0,), (t,))
-        grads.append(jv)
-    grad_sdf = jnp.stack(grads, axis=-1)
+        xb_t, s_t = joint_lin(t)
+        jl_cols.append(xb_t)
+        gs_cols.append(s_t)
+    J_lbs = jnp.stack(jl_cols, axis=-1)                          # (N, 3, 3)
+    grad_sdf = jnp.stack(gs_cols, axis=-1)                       # (N, 3)
     n = x_hat_0.shape[0]
     top = jnp.concatenate(
         [grad_sdf[:, None, :], jnp.zeros((n, 1, 1))], axis=-1)

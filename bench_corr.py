@@ -106,18 +106,57 @@ def main():
                 x_bar, x0, T0.reshape(n, 16), mask, wts_t, bs, bones16,
                 frame.coord_min, frame.coord_max, frame.center, tile=tile)
             results[f'pallas{tile}'] = timeit(f'pallas (T,k) tile={tile}', f)
-    if 'pallas_t' in variants:
+    if 'pallas_t' in variants or 'pallas_t_f32' in variants:
         from arah_tpu.ops.pallas.corr_kernel_t import corr_search_pallas_t
+        precisions = []
+        if 'pallas_t_f32' in variants:
+            precisions.append('f32')
+        if 'pallas_t' in variants:
+            precisions.append('split3')
         for tile in [int(t) for t in args.tiles.split(',')]:
-            f = lambda tile=tile: corr_search_pallas_t(
-                x_bar, x0, T0.reshape(n, 16), mask, wts, bs, bones16,
-                frame.coord_min, frame.coord_max, frame.center, tile=tile)
-            results[f'pallas_t{tile}'] = timeit(
-                f'pallas (k,T) tile={tile}', f)
+            for prec in precisions:
+                f = lambda tile=tile, prec=prec: corr_search_pallas_t(
+                    x_bar, x0, T0.reshape(n, 16), mask, wts, bs, bones16,
+                    frame.coord_min, frame.coord_max, frame.center,
+                    tile=tile, precision=prec)
+                results[f'pallas_t{tile}_{prec}'] = timeit(
+                    f'pallas (k,T) tile={tile} {prec}', f)
+
+    if 'pallas_t_sorted' in variants:
+        # difficulty-sorted tiling: permute points by initial residual
+        # norm (masked points first) so per-tile early exit fires — the
+        # solver is per-point, so results are identical up to the
+        # permutation
+        from arah_tpu.ops.pallas.corr_kernel_t import corr_search_pallas_t
+        T0_16 = T0.reshape(n, 16)
+
+        for tile in [int(t) for t in args.tiles.split(',')]:
+            def sorted_solve(tile=tile):
+                g0, _ = forward_skinning(skin_fn, frame, x0)
+                key = jnp.linalg.norm(g0 - x_bar, axis=-1)
+                key = jnp.where(mask, key, -1.0)
+                perm = jnp.argsort(key)
+                x_hat, T16, valid = corr_search_pallas_t(
+                    x_bar[perm], x0[perm], T0_16[perm], mask[perm],
+                    wts, bs, bones16, frame.coord_min, frame.coord_max,
+                    frame.center, tile=tile)
+                inv = jnp.argsort(perm)
+                return x_hat[inv], T16[inv], valid[inv]
+            results[f'pallas_t_sorted{tile}'] = timeit(
+                f'pallas (k,T) SORTED tile={tile}', jax.jit(sorted_solve))
+        ref_p = results.get('pallas_t2048_f32') or results.get(
+            'pallas_t2048_split3')
+        if ref_p is not None:
+            s = results[f'pallas_t_sorted{tile}']
+            print('sorted == unsorted:',
+                  bool(jnp.all(ref_p[0] == s[0])
+                       & jnp.all(ref_p[2] == s[2])))
 
     # cross-check agreement of the last pallas_t vs the first XLA result
     ref = results.get('chunked') or results.get('dense')
-    pt = [v for k, v in results.items() if k.startswith('pallas_t')]
+    pt = [v for k, v in results.items()
+          if k.startswith('pallas_t') and not k.endswith('_f32')] or \
+         [v for k, v in results.items() if k.startswith('pallas_t')]
     if ref is not None and pt:
         v_ref = np.asarray(ref.valid)
         x_ref = np.asarray(ref.x_hat)
