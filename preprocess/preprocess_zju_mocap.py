@@ -17,6 +17,12 @@ import json
 import os
 import shutil
 
+# host-side tool: pin JAX to CPU before any jax use — preprocessing must
+# never grab the (single-tenant) TPU, and the TPU plugin may not even be
+# importable in stripped subprocess environments
+import jax
+jax.config.update('jax_platforms', 'cpu')
+
 import numpy as np
 from scipy.spatial.transform import Rotation
 

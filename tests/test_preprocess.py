@@ -29,7 +29,8 @@ def preprocessed(tmp_path_factory):
     misc_dir, model = make_fake_raw_zju(
         raw, n_frames=2, views=('1', '7'), img_size=256, n_verts=512,
         verts_offset=VERTS_OFFSET)
-    env = dict(os.environ, PYTHONPATH=REPO)
+    env = dict(os.environ, PYTHONPATH=os.pathsep.join(
+        [REPO] + [p for p in [os.environ.get('PYTHONPATH', '')] if p]))
     res = subprocess.run(
         [sys.executable, os.path.join(REPO, 'preprocess',
                                       'preprocess_zju_mocap.py'),
@@ -137,7 +138,8 @@ class TestPreprocessH36M:
         out = str(tmp_path_factory.mktemp('processed_h36m'))
         misc_dir, model = make_fake_raw_h36m(
             raw, n_frames=2, img_size=256, n_verts=512, verts_offset=0.04)
-        env = dict(os.environ, PYTHONPATH=REPO)
+        env = dict(os.environ, PYTHONPATH=os.pathsep.join(
+        [REPO] + [p for p in [os.environ.get('PYTHONPATH', '')] if p]))
         res = subprocess.run(
             [sys.executable, os.path.join(REPO, 'preprocess',
                                           'preprocess_h36m.py'),
@@ -220,7 +222,8 @@ class TestExtractSmplParameters:
                 pickle.dump(d, f)
 
         out = tmp_path / 'misc'
-        env = dict(os.environ, PYTHONPATH=REPO)
+        env = dict(os.environ, PYTHONPATH=os.pathsep.join(
+        [REPO] + [p for p in [os.environ.get('PYTHONPATH', '')] if p]))
         res = subprocess.run(
             [sys.executable,
              os.path.join(REPO, 'preprocess', 'extract_smpl_parameters.py'),
@@ -252,7 +255,8 @@ class TestPreprocessAist:
             pickle.dump(motion, f)
 
         odp_root = tmp_path / 'odp'
-        env = dict(os.environ, PYTHONPATH=REPO)
+        env = dict(os.environ, PYTHONPATH=os.pathsep.join(
+        [REPO] + [p for p in [os.environ.get('PYTHONPATH', '')] if p]))
         res = subprocess.run(
             [sys.executable,
              os.path.join(REPO, 'preprocess', 'preprocess_aist.py'),
