@@ -28,16 +28,22 @@ def skinning(x: jax.Array, w: jax.Array, tfs: jax.Array,
     Returns:
       (skinned (..., N, 3), per-point transforms (..., N, 4, 4)).
     """
-    w_tf = jnp.einsum('...pn,...nij->...pij', w, tfs)
+    # HIGHEST: these run inside the Broyden residual — bf16 default
+    # precision adds ~1e-4 noise that stalls the 1e-5 convergence check
+    w_tf = jnp.einsum('...pn,...nij->...pij', w, tfs,
+                      precision=jax.lax.Precision.HIGHEST)
     tf = inv_affine(w_tf) if inverse else w_tf
-    x_out = jnp.einsum('...pij,...pj->...pi', tf[..., :3, :3], x) \
+    x_out = jnp.einsum('...pij,...pj->...pi', tf[..., :3, :3], x,
+                       precision=jax.lax.Precision.HIGHEST) \
         + tf[..., :3, 3]
     return x_out, w_tf
 
 
 def apply_transform(T: jax.Array, x: jax.Array) -> jax.Array:
     """Apply (..., 4, 4) homogeneous transforms to (..., 3) points."""
-    return jnp.einsum('...ij,...j->...i', T[..., :3, :3], x) + T[..., :3, 3]
+    return jnp.einsum('...ij,...j->...i', T[..., :3, :3], x,
+                      precision=jax.lax.Precision.HIGHEST) \
+        + T[..., :3, 3]
 
 
 def normalize_canonical_points(pts, coord_min, coord_max, center):

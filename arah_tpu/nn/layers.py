@@ -57,8 +57,8 @@ def init_linear(key, in_features: int, out_features: int,
 
 
 def linear(params, x):
-    """x @ w.T + b for (..., in) inputs."""
-    return x @ params['w'].T + params['b']
+    """x @ w.T + b for (..., in) inputs (true-f32, see mm_t)."""
+    return mm_t(x, params['w']) + params['b']
 
 
 # ---------------------------------------------------------------------------
@@ -149,14 +149,25 @@ def softplus100(x):
 def mm_t(x, w, bf16: bool = False):
     """x @ w.T with optional bf16 inputs / f32 accumulation.
 
-    On TPU an f32 matmul runs as multiple bf16 MXU passes; casting the
-    operands to bf16 (keeping `preferred_element_type=jnp.float32` so the
-    accumulator stays f32) trades ~3 decimal digits of operand precision
-    for the single-pass rate. Used by the shading stage only
-    (`ModelConfig.bf16_shading`); solvers and regularizers stay f32.
+    bf16=False is TRUE f32: on TPU, JAX's *default* matmul precision is a
+    single bf16 MXU pass (~4e-3 relative operand error), which puts a
+    ~1e-4 noise floor under every network eval — enough to stall the
+    Broyden solvers above their 1e-5 convergence threshold (measured on
+    v5e: iso convergence on march-converged rays 16% at default precision
+    vs 95% at f32). `Precision.HIGHEST` forces the multi-pass f32-exact
+    matmul, matching the reference's torch-f32 numerics
+    (`im2mesh/utils/broyden.py:47` converges at 1e-5 in f32).
+
+    bf16=True casts the operands to bf16 (keeping
+    `preferred_element_type=jnp.float32` so the accumulator stays f32),
+    trading ~3 decimal digits for the single-pass rate. Used by the
+    shading stage only (`ModelConfig.bf16_shading`); solvers and
+    regularizers stay f32.
     """
     if not bf16:
-        return x @ w.T
+        return jax.lax.dot_general(
+            x, w, (((x.ndim - 1,), (w.ndim - 1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
     return jax.lax.dot_general(
         x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
         (((x.ndim - 1,), (w.ndim - 1,)), ((), ())),
