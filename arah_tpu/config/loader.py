@@ -126,6 +126,8 @@ def model_config_from_cfg(cfg: dict, low_vram: bool = False):
         train_skinning_net=cfg['training'].get('train_skinning_net', False),
         render_last_pt=m.get('render_last_pt', False),
         bf16_shading=m.get('bf16_shading', False),
+        use_pallas_shade=m.get('use_pallas_shade', True),
+        pallas_shade_tile=m.get('pallas_shade_tile', 1024),
     )
 
 

@@ -52,6 +52,12 @@ class ModelConfig(NamedTuple):
     # SDF+features+normals and the color MLP). Solvers, eikonal and the
     # other regularizers stay f32. See nn/layers.py:mm_t.
     bf16_shading: bool = False
+    # eval-only fused SIREN shading kernel (ops/pallas/shade_kernel.py):
+    # SDF + features + spatial normal in one VMEM pass instead of the
+    # XLA vmap(grad) whose hidden activations round-trip HBM. Training
+    # keeps the XLA path (the kernel has no parameter backward).
+    use_pallas_shade: bool = True
+    pallas_shade_tile: int = 1024
 
 
 def make_skin_fn(params, cfg: ModelConfig, stop_grad: bool = False):
@@ -170,7 +176,17 @@ def shade_samples(params, cfg: ModelConfig, gen: GeneratedMLP,
                                 bf16=cfg.bf16_shading)
         return out[0, 0], (out[0, 0], feat[0])
 
-    if training or jax.default_backend() == 'cpu':
+    from arah_tpu.render.ray_tracing import _pallas_ok
+    if not training and cfg.use_pallas_shade and _pallas_ok():
+        # fused Pallas kernel: SDF + features + analytic input-gradient in
+        # one VMEM-resident pass (ops/pallas/shade_kernel.py). Same dot
+        # products as the XLA path, reassociated; eval-only (no parameter
+        # backward through pallas_call).
+        from arah_tpu.ops.pallas.shade_kernel import siren_shade_pallas
+        out_sdf, feats, grads = siren_shade_pallas(
+            gen, flat_p, tile=cfg.pallas_shade_tile, bf16=cfg.bf16_shading)
+        sdf_norm = out_sdf[:, 0]
+    elif training or jax.default_backend() == 'cpu':
         # training must stay forward-mode (reverse-over-forward parameter
         # backward); on CPU we also keep it — the reverse-mode eval graph
         # intermittently deadlocks the XLA:CPU thread pool in long test

@@ -45,6 +45,12 @@ def main():
         if name == 'iso_on':
             return cfg._replace(tracer=cfg.tracer._replace(
                 use_pallas_iso=True))
+        if name == 'no_shade':
+            return cfg._replace(use_pallas_shade=False)
+        if name == 'shade_512':
+            return cfg._replace(pallas_shade_tile=512)
+        if name == 'shade_2048':
+            return cfg._replace(pallas_shade_tile=2048)
         raise ValueError(name)
 
     names = args.configs.split(',')

@@ -437,3 +437,52 @@ class TestRenderDispatch:
             d = np.abs(np.asarray(out_xla['rgb_values'])[both]
                        - np.asarray(out_ker['rgb_values'])[both])
             assert np.median(d) < 1e-3, np.median(d)
+
+
+class TestShadeKernel:
+    """Fused eval-shading kernel (ops/pallas/shade_kernel.py): SDF value,
+    features and analytic d(sdf)/dx vs the XLA vmap(grad) path."""
+
+    def _check(self, gen, x, tile):
+        from arah_tpu.ops.pallas.shade_kernel import siren_shade_pallas
+
+        def sdf_feat(p):
+            out, feat = siren_apply(gen, p[None], return_features=True)
+            return out[0, 0], (out[0], feat[0])
+
+        grads, (out_ref, feat_ref) = jax.vmap(
+            jax.grad(sdf_feat, has_aux=True))(x)
+        out, feat, grad = siren_shade_pallas(gen, x, tile=tile)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(feat), np.asarray(feat_ref),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(grad), np.asarray(grads),
+                                   atol=1e-4)
+
+    def test_film_flagship(self, rng):
+        cfg = HypernetConfig()
+        params = init_hypernet(jax.random.PRNGKey(0), cfg)
+        cond = hypernet_cond(
+            params, cfg,
+            jnp.asarray(rng.randn(1, 24, 9).astype(np.float32)),
+            jnp.asarray(rng.randn(1, 24, 3).astype(np.float32)))[0]
+        gen = hypernet_generate(
+            params, cfg, cond,
+            jnp.asarray(rng.randn(128).astype(np.float32)))
+        # in-domain points (normalized canonical cube); padding exercised
+        # by the non-tile-multiple count
+        x = jnp.asarray(rng.uniform(-1, 1, (700, 3)).astype(np.float32))
+        self._check(gen, x, tile=256)
+
+    def test_no_film(self, rng):
+        cfg = HypernetConfig(use_film=False, hidden_features=128,
+                             num_hidden_layers=3)
+        params = init_hypernet(jax.random.PRNGKey(1), cfg)
+        cond = hypernet_cond(
+            params, cfg,
+            jnp.asarray(rng.randn(1, 24, 9).astype(np.float32)),
+            jnp.asarray(rng.randn(1, 24, 3).astype(np.float32)))[0]
+        gen = hypernet_generate(params, cfg, cond, None)
+        x = jnp.asarray(rng.uniform(-1, 1, (512, 3)).astype(np.float32))
+        self._check(gen, x, tile=256)
