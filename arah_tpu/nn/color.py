@@ -107,13 +107,20 @@ def color_apply(params, cfg: ColorConfig, points: jax.Array,
             axis=-1)
 
     if cfg.mode == 'idr':
-        x0 = jnp.concatenate([points, view_dirs, normals, feats], axis=-1)
+        parts = [points, view_dirs, normals, feats]
     elif cfg.mode == 'no_view_dir':
-        x0 = jnp.concatenate([points, normals, feats], axis=-1)
+        parts = [points, normals, feats]
     elif cfg.mode == 'no_normal':
-        x0 = jnp.concatenate([points, view_dirs, feats], axis=-1)
+        parts = [points, view_dirs, feats]
     else:
         raise ValueError(cfg.mode)
+    if bf16:
+        # store the input block and inter-layer activations in bf16: the
+        # matmul operands are rounded to bf16 either way (layers.mm_t);
+        # bf16 storage halves the HBM traffic of the (N, ~400+) input
+        # (reused at the skip) and the (N, 256) hidden chain
+        parts = [p.astype(jnp.bfloat16) for p in parts]
+    x0 = jnp.concatenate(parts, axis=-1)
 
     x = x0
     n = cfg.n_layers + 1
@@ -123,6 +130,8 @@ def color_apply(params, cfg: ColorConfig, points: jax.Array,
         x = wn_linear(params['layers'][l], x, bf16)
         if l < n - 1:
             x = jax.nn.relu(x)
+            if bf16:
+                x = x.astype(jnp.bfloat16)
     return jax.nn.sigmoid(x) if cfg.squeeze_out else x
 
 

@@ -38,8 +38,15 @@ def siren_apply(gen: GeneratedMLP, x: jax.Array,
     activation (the 256-d feature the color network consumes,
     `implicit_differentiable_renderer.py:336-337`).
 
-    bf16: matmuls in bfloat16 with f32 accumulation (activations stay
-    f32); shading-only fast path, see `layers.mm_t`.
+    bf16: matmuls in bfloat16 with f32 accumulation, and activations
+    *stored* in bf16 between layers (shading-only fast path, see
+    `layers.mm_t`). The pre-activation (matmul accum + bias + FiLM + sine)
+    is computed in f32 and rounded once on store — the same rounding the
+    bf16 matmul operands already see, but it halves the HBM traffic of the
+    inter-layer tensors, which dominate the differentiable shading stage
+    (the jacfwd tangent chain is (N, 3, hidden); profile: the train-step
+    reverse-over-forward SIREN was ~60 ms of a 128 ms step at 131k samples
+    on v5e, bandwidth-bound at ~670 GB/s).
     """
     from arah_tpu.nn.layers import mm_t
     h = x
@@ -50,6 +57,8 @@ def siren_apply(gen: GeneratedMLP, x: jax.Array,
         if use_film:
             h = gen.freqs[i] * h + gen.phases[i]
         h = jnp.sin(30.0 * h)
+        if bf16:
+            h = h.astype(jnp.bfloat16)
     features = h
     out = mm_t(h, gen.weights[-1], bf16) + gen.biases[-1]
     if return_features:
