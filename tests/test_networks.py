@@ -274,3 +274,47 @@ class TestPretrainedBootstraps:
                               jnp.asarray(rng.randn(8, 3), jnp.float32))
         assert out.shape == (8, 25)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestBf16Storage:
+    """bf16_shading stores inter-layer activations in bfloat16
+    (`siren_apply`/`color_apply`); the stored rounding must stay at the
+    bf16 operand-rounding scale the matmuls already carry, and the jacfwd
+    tangent chain (shading normals) must ride the same dtype."""
+
+    def test_siren_bf16_storage_close_and_tangent_dtype(self, rng):
+        from arah_tpu.nn.siren import (init_plain_siren,
+                                       plain_siren_as_generated)
+        gen = plain_siren_as_generated(
+            init_plain_siren(jax.random.PRNGKey(0), [3, 64, 64, 64, 1]))
+        x = jnp.asarray(rng.randn(32, 3), jnp.float32) * 0.5
+        o32, f32_feat = siren_apply(gen, x, return_features=True)
+        o16, f16_feat = siren_apply(gen, x, return_features=True, bf16=True)
+        assert f16_feat.dtype == jnp.bfloat16
+        assert o16.dtype == jnp.float32          # f32 accumulation out
+        # activations are O(1) (sine outputs); bf16 storage keeps the
+        # result within a few bf16 ulps through 3 hidden layers
+        assert float(jnp.abs(o32 - o16).max()) < 3e-2
+        # normals: forward-mode input gradient through the bf16 chain
+        g = jax.vmap(jax.jacfwd(
+            lambda p: siren_apply(gen, p[None], bf16=True)[0, 0]))(x)
+        g32 = jax.vmap(jax.jacfwd(
+            lambda p: siren_apply(gen, p[None])[0, 0]))(x)
+        assert g.dtype == jnp.float32
+        assert np.isfinite(np.asarray(g)).all()
+        denom = float(jnp.abs(g32).max())
+        assert float(jnp.abs(g - g32).max()) / denom < 5e-2
+
+    def test_color_bf16_storage_close(self, rng):
+        cfg = ColorConfig(d_feature=64 + 128, d_hidden=64, pose_encoder='latent')
+        params = init_color(jax.random.PRNGKey(1), cfg)
+        n = 16
+        pts = jnp.asarray(rng.randn(n, 3), jnp.float32)
+        nrm = jnp.asarray(rng.randn(n, 3), jnp.float32)
+        vd = jnp.asarray(rng.randn(n, 3), jnp.float32)
+        feat = jnp.asarray(rng.randn(n, 64), jnp.float32)
+        pose = jnp.asarray(rng.randn(1, 128), jnp.float32)
+        rgb32 = color_apply(params, cfg, pts, nrm, vd, feat, pose)
+        rgb16 = color_apply(params, cfg, pts, nrm, vd, feat, pose, bf16=True)
+        assert rgb16.dtype == jnp.float32
+        assert float(jnp.abs(rgb32 - rgb16).max()) < 2e-2
