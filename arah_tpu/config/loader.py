@@ -128,6 +128,8 @@ def model_config_from_cfg(cfg: dict, low_vram: bool = False):
         bf16_shading=m.get('bf16_shading', False),
         use_pallas_shade=m.get('use_pallas_shade', True),
         pallas_shade_tile=m.get('pallas_shade_tile', 1024),
+        use_pallas_shade_grad=m.get('use_pallas_shade_grad', True),
+        pallas_shade_grad_tile=m.get('pallas_shade_grad_tile', 128),
     )
 
 

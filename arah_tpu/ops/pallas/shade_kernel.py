@@ -143,4 +143,9 @@ def siren_shade_pallas(gen: GeneratedMLP, x: jax.Array, tile: int = 1024,
     pad = (-n) % tile
     xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
     out, feat, grad = _shade_pallas(gen, xp, tile, bf16, interpret)
+    if bf16:
+        # match the XLA eval path's dtype contract: under bf16_shading,
+        # siren_apply stores inter-layer activations (incl. the returned
+        # features) in bf16
+        feat = feat.astype(jnp.bfloat16)
     return out[:n], feat[:n], grad[:n]

@@ -58,6 +58,14 @@ class ModelConfig(NamedTuple):
     # keeps the XLA path (the kernel has no parameter backward).
     use_pallas_shade: bool = True
     pallas_shade_tile: int = 1024
+    # TRAINING-path fused shading kernel pair (ops/pallas/
+    # shade_grad_kernel.py): the differentiable (sdf, features, normal)
+    # primitive becomes a custom_vjp whose backward recomputes the SIREN
+    # chain per tile in VMEM with hand-written cotangents — the
+    # (n_points, 3, hidden) jacfwd tangent chain of the XLA path (60 of
+    # 128 ms/step, PERF.md round 2b) never touches HBM.
+    use_pallas_shade_grad: bool = True
+    pallas_shade_grad_tile: int = 128
 
 
 def make_skin_fn(params, cfg: ModelConfig, stop_grad: bool = False):
@@ -177,7 +185,19 @@ def shade_samples(params, cfg: ModelConfig, gen: GeneratedMLP,
         return out[0, 0], (out[0, 0], feat[0])
 
     from arah_tpu.render.ray_tracing import _pallas_ok
-    if not training and cfg.use_pallas_shade and _pallas_ok():
+    if training and cfg.use_pallas_shade_grad and _pallas_ok() \
+            and gen.weights[0].ndim == 2:
+        # fused fwd+bwd kernel pair: same values as the XLA jacfwd path
+        # (dot products reassociated), with a hand-written Pallas VJP for
+        # every SIREN leaf and the points (ops/pallas/shade_grad_kernel.py)
+        from arah_tpu.ops.pallas.shade_grad_kernel import siren_shade_grad
+        # fwd tile capped at 512: inside the train step the fwd kernel at
+        # tile 1024 exceeds the 16 MB scoped-VMEM limit (25.9 MB, v5e)
+        out_sdf, feats, grads = siren_shade_grad(
+            gen, flat_p, tile=min(cfg.pallas_shade_tile, 512),
+            tile_bwd=cfg.pallas_shade_grad_tile, bf16=cfg.bf16_shading)
+        sdf_norm = out_sdf[:, 0]
+    elif not training and cfg.use_pallas_shade and _pallas_ok():
         # fused Pallas kernel: SDF + features + analytic input-gradient in
         # one VMEM-resident pass (ops/pallas/shade_kernel.py). Same dot
         # products as the XLA path, reassociated; eval-only (no parameter
@@ -316,8 +336,22 @@ def render(params, cfg: ModelConfig, inp: RenderInputs, key,
         else:
             eik = (jax.random.uniform(k_eik, (cfg.n_eik_points, 3))
                    - 0.5) * 2.0
-        # forward-mode spatial gradient (see shade_samples note)
-        grad_eik = jax.vmap(jax.jacfwd(lambda p: sdf_fn(p[None])[0]))(eik)
+        # forward-mode spatial gradient (see shade_samples note); on TPU
+        # the fused shading VJP kernel computes it (and its parameter
+        # backward) without materializing the tangent chain
+        from arah_tpu.render.ray_tracing import _pallas_ok
+        if cfg.use_pallas_shade_grad and _pallas_ok() \
+                and gen.weights[0].ndim == 2:
+            from arah_tpu.ops.pallas.shade_grad_kernel import \
+                siren_shade_grad
+            # bf16=False: the eikonal regularizer stays f32 like every
+            # other regularizer (the XLA path's sdf_fn is f32 too)
+            grad_eik = siren_shade_grad(
+                gen, eik, tile=min(cfg.pallas_shade_tile, 1024),
+                tile_bwd=cfg.pallas_shade_grad_tile, bf16=False)[2]
+        else:
+            grad_eik = jax.vmap(
+                jax.jacfwd(lambda p: sdf_fn(p[None])[0]))(eik)
         out['grad_theta'] = grad_eik
         if inp.points_uniform is not None:
             out['off_surface_sdf'] = sdf_fn(inp.points_uniform)

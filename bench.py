@@ -41,6 +41,31 @@ def apply_env_overrides(cfg):
     return cfg
 
 
+def device_peaks():
+    """(peak_matmul_flops_per_s, peak_hbm_bytes_per_s) for the local chip.
+
+    Public per-chip specs; bf16 MXU peak is the MFU convention (the step
+    mixes bf16 and f32-HIGHEST matmuls, so this is the conservative
+    denominator — f32 passes can never exceed it).
+    """
+    import jax
+    kind = jax.devices()[0].device_kind.lower()
+    table = [
+        ('v5 lite', (197e12, 819e9)),   # v5e
+        ('v5e', (197e12, 819e9)),
+        ('v5p', (459e12, 2765e9)),
+        ('v5', (459e12, 2765e9)),
+        ('v6 lite', (918e12, 1640e9)),  # Trillium
+        ('v6e', (918e12, 1640e9)),
+        ('v4', (275e12, 1228e9)),
+        ('v3', (123e12, 900e9)),
+    ]
+    for key, peaks in table:
+        if key in kind:
+            return peaks
+    return (0.0, 0.0)   # unknown chip: report mfu 0 rather than a lie
+
+
 TRAIN_SNIPPET = r'''
 import json, os, time, sys
 sys.path.insert(0, os.getcwd())
@@ -56,8 +81,9 @@ from arah_tpu.train.optim import OptimConfig, make_optimizer
 
 n_rays = int(os.environ.get('BENCH_RAYS', 2048))
 iters = int(os.environ.get('BENCH_ITERS', 5))
+rounds = int(os.environ.get('BENCH_ROUNDS', 5))
 cfg = _flagship_config()
-from bench import apply_env_overrides
+from bench import apply_env_overrides, device_peaks
 cfg = apply_env_overrides(cfg)
 params, fd, _ = _build_scene(cfg, n_rays=16)
 batch = synthetic_train_batch(jax.random.PRNGKey(1), fd, n_blocks=1,
@@ -67,14 +93,65 @@ optimizer, _ = make_optimizer(OptimConfig(train_skinning_net=True), params)
 state = TrainState(params, optimizer.init(params), jnp.int32(0))
 step = make_train_step(cfg, loss_w, optimizer)
 key = jax.random.PRNGKey(2)
+
+# ---- analytic per-step FLOPs (arah_tpu/utils/flops.py). XLA's HLO cost
+# model cannot count this step (data-dependent while trip counts, Pallas
+# custom calls), so we bound MFU: `flops_deterministic` counts only the
+# blocks with static work (shading fwd+bwd, color, inits, eikonal,
+# regularizers, hypernet, implicit diff) -> a hard LOWER bound on
+# executed FLOPs; `flops_at_caps` charges every solver loop its
+# configured max iterations -> an upper bound.
+from arah_tpu.utils.flops import model_shapes, train_step_flops
+from arah_tpu.render.renderer import generate_sdf
+gen0 = generate_sdf(params, cfg, fd.rots, fd.Jtrs, params['latent'][0])
+siren_s, skin_s, color_s, hyper_p = model_shapes(params, gen0)
+common = dict(n_rays=n_rays, n_samples=cfg.tracer.n_steps, n_verts=6890,
+              siren_shapes=siren_s, skin_shapes=skin_s,
+              color_shapes=color_s, hypernet_params=hyper_p,
+              train_skinning_net=True)
+f_lo = train_step_flops(corr_iters=0, march_iters=0, iso_iters=0,
+                        **common)
+f_hi = train_step_flops(corr_iters=cfg.tracer.corr_max_steps,
+                        march_iters=cfg.tracer.sphere_tracing_iters,
+                        iso_iters=cfg.tracer.iso_max_steps, **common)
+
+# HBM bytes from XLA's model (custom-call operands/results included;
+# while-loop bodies counted once -> lower bound)
+hbm_bytes = None
+try:
+    cost = step.lower(state, batch, key).compile().cost_analysis()
+    if cost:
+        hbm_bytes = float(cost.get('bytes accessed', 0.0)) or None
+except Exception as e:
+    print('cost_analysis unavailable:', e, file=sys.stderr)
+
 state, losses = step(state, batch, key)
 jax.block_until_ready(losses['loss'])
-t0 = time.perf_counter()
-for i in range(iters):
-    state, losses = step(state, batch, jax.random.fold_in(key, i))
-jax.block_until_ready(losses['loss'])
-dt = (time.perf_counter() - t0) / iters
-print('BENCH_TRAIN_RESULT ' + json.dumps({'rays_per_s': n_rays / dt}))
+# median over BENCH_ROUNDS timed rounds (the axon-tunnelled TPU's
+# wall-clock drifts; a single window is not a measurement — PERF.md)
+per_round = []
+i = 0
+for r in range(rounds):
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, losses = step(state, batch, jax.random.fold_in(key, i))
+        i += 1
+    jax.block_until_ready(losses['loss'])
+    per_round.append((time.perf_counter() - t0) / iters)
+dt = float(np.median(per_round))
+peak_flops, peak_hbm = device_peaks()
+out = {'rays_per_s': n_rays / dt, 'step_ms': dt * 1e3,
+       'rounds_rays_per_s': [round(n_rays / d, 1) for d in per_round],
+       'flops_per_step_deterministic': f_lo['total'],
+       'flops_per_step_at_solver_caps': f_hi['total']}
+if peak_flops:
+    out['mfu'] = f_lo['total'] / dt / peak_flops
+    out['mfu_at_solver_caps'] = f_hi['total'] / dt / peak_flops
+if hbm_bytes:
+    out['hbm_bytes_per_step'] = hbm_bytes
+    if peak_hbm:
+        out['hbm_util'] = hbm_bytes / dt / peak_hbm
+print('BENCH_TRAIN_RESULT ' + json.dumps(out))
 '''
 
 
@@ -129,7 +206,8 @@ def main():
                   'taken', file=sys.stderr)
             sys.exit(3)
 
-    train_timeout = float(os.environ.get('BENCH_TRAIN_TIMEOUT', 1200))
+    train_timeout = float(os.environ.get('BENCH_TRAIN_TIMEOUT', 1800))
+    extra = {}
     if train_timeout > 0:
         try:
             proc = subprocess.run(
@@ -138,8 +216,10 @@ def main():
                 cwd=os.path.dirname(os.path.abspath(__file__)))
             for line in proc.stdout.splitlines():
                 if line.startswith('BENCH_TRAIN_RESULT '):
-                    rays_s = json.loads(line.split(' ', 1)[1])['rays_per_s']
-                    result = ('train_rays_per_s_per_chip_fwd_bwd', rays_s)
+                    payload = json.loads(line.split(' ', 1)[1])
+                    result = ('train_rays_per_s_per_chip_fwd_bwd',
+                              payload.pop('rays_per_s'))
+                    extra = payload
         except subprocess.TimeoutExpired:
             pass
 
@@ -164,13 +244,24 @@ def main():
                   '(BENCH_BASELINE.json; fixed measurement, not '
                   'rescaled by this run)')
 
-    print(json.dumps({
+    out = {
         'metric': metric,
         'value': round(value, 2),
         'unit': 'rays/s',
         'vs_baseline': round(vs, 3),
         'vs_baseline_method': method,
-    }))
+        'measurement': 'median of %s rounds x %s iters, one process'
+                       % (os.environ.get('BENCH_ROUNDS', 5),
+                          os.environ.get('BENCH_ITERS', 5)),
+    }
+    for k in ('mfu', 'mfu_at_solver_caps', 'hbm_util'):
+        if k in extra:
+            out[k] = round(extra[k], 4)
+    for k in ('flops_per_step_deterministic', 'flops_per_step_at_solver_caps',
+              'hbm_bytes_per_step', 'step_ms', 'rounds_rays_per_s'):
+        if k in extra:
+            out[k] = extra[k]
+    print(json.dumps(out))
 
 
 if __name__ == '__main__':

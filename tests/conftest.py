@@ -71,10 +71,20 @@ def threading_main() -> bool:
     return threading.current_thread() is threading.main_thread()
 
 
-@pytest.fixture(scope='session')
-def rng():
+@pytest.fixture()
+def rng(request):
+    """Per-test deterministic RandomState.
+
+    Was session-scoped (one shared mutable stream), which made every
+    test's draws depend on which tests ran before it — the round-2
+    TestIsoKernel flake (agreement 0.9375 vs 0.94 in suite order, pass
+    alone) was exactly this. Seeding from a stable hash of the test id
+    makes each test's scene identical in ANY order, including alone.
+    """
+    import zlib
     import numpy as np
-    return np.random.RandomState(0)
+    seed = zlib.crc32(request.node.nodeid.encode()) & 0x7fffffff
+    return np.random.RandomState(seed)
 
 
 def reference_available() -> bool:
