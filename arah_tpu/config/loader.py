@@ -127,9 +127,9 @@ def model_config_from_cfg(cfg: dict, low_vram: bool = False):
         render_last_pt=m.get('render_last_pt', False),
         bf16_shading=m.get('bf16_shading', False),
         use_pallas_shade=m.get('use_pallas_shade', True),
-        pallas_shade_tile=m.get('pallas_shade_tile', 1024),
+        pallas_shade_tile=m.get('pallas_shade_tile', 512),
         use_pallas_shade_grad=m.get('use_pallas_shade_grad', True),
-        pallas_shade_grad_tile=m.get('pallas_shade_grad_tile', 128),
+        pallas_shade_grad_tile=m.get('pallas_shade_grad_tile', 256),
     )
 
 
@@ -157,9 +157,16 @@ def loss_weights_from_cfg(cfg: dict):
 def optim_config_from_cfg(cfg: dict):
     from arah_tpu.train.optim import OptimConfig
     t = cfg['training']
+    sched = t.get('lr_schedule', {}) or {}
     return OptimConfig(
         lr=t.get('lr', 1e-6),
         pose_net_factor=t.get('pose_net_factor', 100.0),
         skinning_lr=t.get('skinning_lr', 1e-4),
         train_skinning_net=t.get('train_skinning_net', False),
+        # beyond-reference optional global lr decay, e.g.
+        #   lr_schedule: {type: cosine, decay_steps: 20000}
+        lr_schedule=sched.get('type', 'constant'),
+        lr_decay_steps=int(sched.get('decay_steps', 0)),
+        lr_gamma=float(sched.get('gamma', 0.5)),
+        lr_min_factor=float(sched.get('min_factor', 0.1)),
     )

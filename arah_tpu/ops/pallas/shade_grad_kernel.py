@@ -291,6 +291,110 @@ def _make_op(tile: int, tile_bwd: int, bf16: bool, interpret: bool):
     return op
 
 
+@lru_cache(maxsize=None)
+def _make_op_xla(bf16: bool):
+    """Pure-XLA twin of the fused op: same hand-derived forward (primal +
+    reverse normal chain) and backward cotangent math as the Pallas
+    kernels, written over full (N, .) arrays with plain jnp.
+
+    Two uses: (1) CPU/non-TPU backends — it avoids materializing the
+    (N, 3, hidden) jacfwd tangent chain that dominates the autodiff
+    path's memory traffic there too; (2) an independent reference for the
+    kernel tests. Values/gradients match the autodiff path to float
+    reassociation (tests/test_pallas.py::TestShadeGradKernel).
+    """
+
+    def _fwd_math(gen, x):
+        L = len(gen.weights)
+        use_film = len(gen.freqs) > 0
+        h = [x]
+        C, z, c = [], [], []
+        for i in range(L - 1):
+            zi = _dot(h[i], gen.weights[i].T, bf16) + gen.biases[i]
+            u = gen.freqs[i] * zi + gen.phases[i] if use_film else zi
+            z.append(zi)
+            Ci = jnp.cos(30.0 * u)
+            C.append(Ci)
+            c.append(30.0 * gen.freqs[i] * Ci if use_film else 30.0 * Ci)
+            h.append(jnp.sin(30.0 * u))
+        out = _dot(h[L - 1], gen.weights[L - 1].T, bf16) + gen.biases[L - 1]
+        # reverse chain for n = d(out[:, 0])/dx
+        g_list = [None] * (L - 1)
+        a_list = [None] * (L - 1)
+        gcur = jnp.broadcast_to(gen.weights[L - 1][0:1, :],
+                                (x.shape[0], gen.weights[L - 1].shape[1]))
+        for i in range(L - 2, -1, -1):
+            g_list[i] = gcur
+            a_list[i] = gcur * c[i]
+            gcur = _dot(a_list[i], gen.weights[i], bf16)
+        return out, h, C, z, c, g_list, a_list, gcur
+
+    @jax.custom_vjp
+    def op(gen, x):
+        out, h, *_, n = _fwd_math(gen, x)
+        return out, h[-1], n
+
+    def fwd(gen, x):
+        return op(gen, x), (gen, x)
+
+    def bwd(res, cts):
+        gen, x = res
+        gout, gfeat, gn = (ct.astype(jnp.float32) for ct in cts)
+        L = len(gen.weights)
+        use_film = len(gen.freqs) > 0
+        _, h, C, z, c, g_list, a_list, _ = _fwd_math(gen, x)
+        dW = [None] * L
+        db = [None] * L
+        dfr = [None] * (L - 1)
+        dph = [None] * (L - 1)
+        # adjoint of the reverse chain: forward sweep seeded with gn
+        t = gn
+        ubar_c = [None] * (L - 1)
+        for i in range(L - 1):
+            abar = _dot(t, gen.weights[i].T, bf16)
+            dW[i] = _dot_nt(a_list[i], t, bf16)
+            cbar = g_list[i] * abar
+            if use_film:
+                dfr[i] = jnp.sum(30.0 * C[i] * cbar, axis=0)
+                ubar_c[i] = -900.0 * gen.freqs[i] * h[i + 1] * cbar
+            else:
+                ubar_c[i] = -900.0 * h[i + 1] * cbar
+            t = c[i] * abar
+        dWl = _dot_nt(gout, h[L - 1], bf16)
+        sum_t = jnp.sum(t, axis=0, keepdims=True)
+        if gen.weights[L - 1].shape[0] == 1:
+            dWl = dWl + sum_t
+        else:
+            dWl = dWl.at[0, :].add(sum_t[0])
+        dW[L - 1] = dWl
+        db[L - 1] = jnp.sum(gout, axis=0)
+        hbar = _dot(gout, gen.weights[L - 1], bf16) + gfeat
+        for i in range(L - 2, -1, -1):
+            ubar = 30.0 * C[i] * hbar + ubar_c[i]
+            if use_film:
+                dfr[i] = dfr[i] + jnp.sum(z[i] * ubar, axis=0)
+                dph[i] = jnp.sum(ubar, axis=0)
+                zbar = gen.freqs[i] * ubar
+            else:
+                zbar = ubar
+            dW[i] = dW[i] + _dot_nt(zbar, h[i], bf16)
+            db[i] = jnp.sum(zbar, axis=0)
+            hbar = _dot(zbar, gen.weights[i], bf16)
+        dfreqs = tuple(dfr) if use_film else ()
+        dphases = tuple(dph) if use_film else ()
+        return GeneratedMLP(tuple(dW), tuple(db), dfreqs, dphases), hbar
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def siren_shade_grad_xla(gen: GeneratedMLP, x: jax.Array,
+                         bf16: bool = False):
+    """XLA (any-backend) fused shading op: (out, feat, d(out[:,0])/dx)
+    with the hand-written VJP — no (N, 3, hidden) tangent chain."""
+    return _make_op_xla(bf16)(gen, x)
+
+
 def siren_shade_grad(gen: GeneratedMLP, x: jax.Array, tile: int = 1024,
                      tile_bwd: int = 128, bf16: bool = False,
                      interpret: bool | None = None):

@@ -57,7 +57,9 @@ class ModelConfig(NamedTuple):
     # XLA vmap(grad) whose hidden activations round-trip HBM. Training
     # keeps the XLA path (the kernel has no parameter backward).
     use_pallas_shade: bool = True
-    pallas_shade_tile: int = 1024
+    # 512: tile 1024 exceeds the 16 MB scoped-VMEM limit (26.9 MB on v5e
+    # -- the six resident (tile, 256) sine-derivative factors dominate)
+    pallas_shade_tile: int = 512
     # TRAINING-path fused shading kernel pair (ops/pallas/
     # shade_grad_kernel.py): the differentiable (sdf, features, normal)
     # primitive becomes a custom_vjp whose backward recomputes the SIREN
@@ -65,7 +67,7 @@ class ModelConfig(NamedTuple):
     # (n_points, 3, hidden) jacfwd tangent chain of the XLA path (60 of
     # 128 ms/step, PERF.md round 2b) never touches HBM.
     use_pallas_shade_grad: bool = True
-    pallas_shade_grad_tile: int = 128
+    pallas_shade_grad_tile: int = 256   # sweep: 256 >= 128 > 64 (PERF.md)
 
 
 def make_skin_fn(params, cfg: ModelConfig, stop_grad: bool = False):
@@ -184,9 +186,12 @@ def shade_samples(params, cfg: ModelConfig, gen: GeneratedMLP,
                                 bf16=cfg.bf16_shading)
         return out[0, 0], (out[0, 0], feat[0])
 
+    import os as _os
     from arah_tpu.render.ray_tracing import _pallas_ok
-    if training and cfg.use_pallas_shade_grad and _pallas_ok() \
-            and gen.weights[0].ndim == 2:
+    fused_grad = (training and cfg.use_pallas_shade_grad
+                  and gen.weights[0].ndim == 2
+                  and _os.environ.get('ARAH_DISABLE_PALLAS') != '1')
+    if fused_grad and _pallas_ok():
         # fused fwd+bwd kernel pair: same values as the XLA jacfwd path
         # (dot products reassociated), with a hand-written Pallas VJP for
         # every SIREN leaf and the points (ops/pallas/shade_grad_kernel.py)
@@ -196,6 +201,16 @@ def shade_samples(params, cfg: ModelConfig, gen: GeneratedMLP,
         out_sdf, feats, grads = siren_shade_grad(
             gen, flat_p, tile=min(cfg.pallas_shade_tile, 512),
             tile_bwd=cfg.pallas_shade_grad_tile, bf16=cfg.bf16_shading)
+        sdf_norm = out_sdf[:, 0]
+    elif fused_grad:
+        # non-TPU backends: the pure-XLA twin with the same hand-written
+        # VJP — 5.1x faster than the jacfwd+transpose autodiff path on
+        # CPU (no (N, 3, hidden) tangent chain; 13.4 -> 2.6 s at 32k
+        # flagship points). ARAH_DISABLE_PALLAS=1 escapes to autodiff.
+        from arah_tpu.ops.pallas.shade_grad_kernel import \
+            siren_shade_grad_xla
+        out_sdf, feats, grads = siren_shade_grad_xla(
+            gen, flat_p, bf16=cfg.bf16_shading)
         sdf_norm = out_sdf[:, 0]
     elif not training and cfg.use_pallas_shade and _pallas_ok():
         # fused Pallas kernel: SDF + features + analytic input-gradient in
@@ -321,6 +336,12 @@ def render(params, cfg: ModelConfig, inp: RenderInputs, key,
         'rgb_values': rgb_values,                      # (N, 3)
         'weights_sum': weights_sum,                    # (N,)
         'network_body_mask': jnp.any(samples.converge_mask, axis=-1),
+        # shaded-work telemetry (no silent caps): the dense design shades
+        # every (ray, sample) slot; the reference boolean-indexes the
+        # valid set (`implicit_differentiable_renderer.py:284-296`).
+        # valid / dense quantifies that trade per step.
+        'n_samples_valid': jnp.sum(samples.converge_mask),
+        'n_samples_dense': jnp.int32(samples.converge_mask.size),
         'surface_depth': trace.surface.start_dis,      # (N,)
         'surface_converged': ~trace.surface.unconverged,
         'surface_points_norm': trace.surface.points_norm,
@@ -339,9 +360,12 @@ def render(params, cfg: ModelConfig, inp: RenderInputs, key,
         # forward-mode spatial gradient (see shade_samples note); on TPU
         # the fused shading VJP kernel computes it (and its parameter
         # backward) without materializing the tangent chain
+        import os as _os
         from arah_tpu.render.ray_tracing import _pallas_ok
-        if cfg.use_pallas_shade_grad and _pallas_ok() \
-                and gen.weights[0].ndim == 2:
+        fused_eik = (cfg.use_pallas_shade_grad
+                     and gen.weights[0].ndim == 2
+                     and _os.environ.get('ARAH_DISABLE_PALLAS') != '1')
+        if fused_eik and _pallas_ok():
             from arah_tpu.ops.pallas.shade_grad_kernel import \
                 siren_shade_grad
             # bf16=False: the eikonal regularizer stays f32 like every
@@ -349,6 +373,10 @@ def render(params, cfg: ModelConfig, inp: RenderInputs, key,
             grad_eik = siren_shade_grad(
                 gen, eik, tile=min(cfg.pallas_shade_tile, 1024),
                 tile_bwd=cfg.pallas_shade_grad_tile, bf16=False)[2]
+        elif fused_eik:
+            from arah_tpu.ops.pallas.shade_grad_kernel import \
+                siren_shade_grad_xla
+            grad_eik = siren_shade_grad_xla(gen, eik, bf16=False)[2]
         else:
             grad_eik = jax.vmap(
                 jax.jacfwd(lambda p: sdf_fn(p[None])[0]))(eik)

@@ -144,9 +144,19 @@ def train(cfg: dict, model_cfg, loss_w, optim_cfg, dataset, params,
         if (val_dataset is not None and validate_every_n_epochs
             and is_main) else None
 
+    best_path = os.path.join(ckpt_dir, 'BEST.json')
+    best_psnr = -float('inf')
+    if os.path.exists(best_path):
+        with open(best_path) as f:
+            best_psnr = json.load(f).get('val_psnr', -float('inf'))
+
     def run_validation(epoch, state):
         """In-training periodic validation (ref `train.py:125` +
-        `check_val_every_n_epoch`, `ZJUMOCAP-313_4gpus.yaml:48`)."""
+        `check_val_every_n_epoch`, `ZJUMOCAP-313_4gpus.yaml:48`),
+        with best-checkpoint selection (beyond-reference: the reference
+        keeps only `last.ckpt`; the fixture study shows val PSNR can
+        decay past its peak, PERF.md)."""
+        nonlocal best_psnr
         from arah_tpu.eval.evaluator import evaluate_frame
         params = state.params
         if multiprocess:
@@ -169,6 +179,18 @@ def train(cfg: dict, model_cfg, loss_w, optim_cfg, dataset, params,
                for k in rows[0]} if rows else {}
         agg['epoch'] = epoch
         val_logger.log(int(state.step), agg)
+        if agg.get('val_psnr', -float('inf')) > best_psnr:
+            best_psnr = agg['val_psnr']
+            if not multiprocess:
+                # Orbax save is collective; run_validation is rank-0-only
+                # in multi-process runs, so the full best-state save is
+                # single-process-only — BEST.json still records the best
+                # step for the nearest periodic checkpoint either way
+                ckpt_lib.save_checkpoint(ckpt_dir, int(state.step), state)
+            with open(best_path, 'w') as f:
+                json.dump({'step': int(state.step), 'epoch': epoch,
+                           'val_psnr': best_psnr,
+                           'val_ssim': agg.get('val_ssim')}, f)
 
     t_start = time.time()
     stop = False

@@ -79,6 +79,22 @@ def bench_torch(scene, shared, modules):
         near_surface_vol_samples=16, far_surface_vol_samples=16,
         sample_bg_pts=0)
 
+    # shaded-point instrumentation: the reference boolean-indexes the
+    # converged sample set before shading (get_rbg_value_vol_sdf,
+    # `implicit_differentiable_renderer.py:284-296`); count what it
+    # actually shades per step
+    shade_counts = {'valid': 0, 'candidate': 0, 'calls': 0}
+    orig_shade = idhr.get_rbg_value_vol_sdf
+
+    def counting_shade(*a, **k):
+        cm = a[4] if len(a) > 4 else k['converge_mask']
+        shade_counts['valid'] += int(cm.sum())
+        shade_counts['candidate'] += int(cm.numel())
+        shade_counts['calls'] += 1
+        return orig_shade(*a, **k)
+
+    idhr.get_rbg_value_vol_sdf = counting_shade
+
     criteria = loss_mod.IDHRLoss(
         rgb_weight=W['rgb'], perceptual_weight=W['perceptual'],
         eikonal_weight=W['eikonal'], mask_weight=W['mask'],
@@ -133,11 +149,13 @@ def bench_torch(scene, shared, modules):
         return float(losses['loss'])
 
     loss0 = step()                      # warmup
+    shade_counts.update(valid=0, candidate=0, calls=0)
     t0 = time.perf_counter()
     for _ in range(ITERS):
         step()
     dt = (time.perf_counter() - t0) / ITERS
-    return N_RAYS / dt, dt, loss0
+    counts = {k: v / max(ITERS, 1) for k, v in shade_counts.items()}
+    return N_RAYS / dt, dt, loss0, counts
 
 
 def bench_ours(scene, shared, params):
@@ -190,18 +208,20 @@ def bench_ours(scene, shared, params):
 
     def loss_fn(p, key):
         out = render(p, cfg, inp, key, training=True)
-        return compute_loss(out, gt, lw)['loss']
+        return compute_loss(out, gt, lw)['loss'], out['n_samples_valid']
 
-    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
     key = jax.random.PRNGKey(1)
-    loss0, grads = grad_fn(params, key)
+    (loss0, n_valid), grads = grad_fn(params, key)
     jax.block_until_ready(grads)        # warmup (incl. compile)
     t0 = time.perf_counter()
     for i in range(ITERS):
-        loss, grads = grad_fn(params, jax.random.fold_in(key, i))
+        (loss, n_valid), grads = grad_fn(params, jax.random.fold_in(key, i))
     jax.block_until_ready(grads)
     dt = (time.perf_counter() - t0) / ITERS
-    return N_RAYS / dt, dt, float(loss0)
+    counts = {'valid': float(n_valid),
+              'dense': float(N_RAYS * cfg.tracer.n_steps)}
+    return N_RAYS / dt, dt, float(loss0), counts
 
 
 def main():
@@ -217,13 +237,19 @@ def main():
     params = convert_params(sdf_decoder, skinning_model, color, deviation,
                             'flagship')
 
-    ours_rps, ours_dt, ours_loss = bench_ours(scene, shared, params)
+    ours_rps, ours_dt, ours_loss, ours_counts = bench_ours(
+        scene, shared, params)
     print(f'arah_tpu (XLA:CPU): {ours_rps:.1f} rays/s '
-          f'({ours_dt:.2f} s/step, loss {ours_loss:.3e})', flush=True)
-    ref_rps, ref_dt, ref_loss = bench_torch(scene, shared, modules)
+          f'({ours_dt:.2f} s/step, loss {ours_loss:.3e}, '
+          f'shaded {ours_counts})', flush=True)
+    ref_rps, ref_dt, ref_loss, ref_counts = bench_torch(
+        scene, shared, modules)
     print(f'reference (torch CPU): {ref_rps:.1f} rays/s '
-          f'({ref_dt:.2f} s/step, loss {ref_loss:.3e})', flush=True)
+          f'({ref_dt:.2f} s/step, loss {ref_loss:.3e}, '
+          f'shaded {ref_counts})', flush=True)
 
+    ours_dense = ours_counts['dense']
+    ref_shaded = max(ref_counts['valid'], 1.0)
     out = {
         'method': ('same-host CPU, identical flagship nets/weights/scene '
                    '(6890-vert body), identical ray+reg-point counts, one '
@@ -236,6 +262,17 @@ def main():
         'arah_tpu_cpu_rays_s': round(ours_rps, 2),
         'arah_tpu_cpu_s_per_step': round(ours_dt, 3),
         'cpu_like_for_like_ratio': round(ours_rps / ref_rps, 3),
+        # shaded-work accounting: the dense design shades every
+        # (ray, sample) slot; the reference boolean-indexes the converged
+        # set. Normalizing each side's step time by the points it
+        # actually pushes through the SIREN+color stage gives the
+        # per-shaded-point throughput ratio.
+        'arah_shaded_points_per_step_dense': ours_dense,
+        'arah_valid_points_per_step': ours_counts['valid'],
+        'ref_shaded_points_per_step': ref_shaded,
+        'dense_vs_adaptive_point_ratio': round(ours_dense / ref_shaded, 3),
+        'per_shaded_point_throughput_ratio': round(
+            (ours_dense / ours_dt) / (ref_shaded / ref_dt), 3),
         'loss_rel_err': float(abs(ours_loss - ref_loss)
                               / max(abs(ref_loss), 1e-12)),
         'loss_values_match': bool(
@@ -246,11 +283,12 @@ def main():
                   'is the only like-for-like framework comparison '
                   'available. arah_tpu shades dense fixed-shape (N,64) '
                   'sample blocks (a TPU/MXU-oriented design), while the '
-                  'reference boolean-indexes the adaptive active set '
-                  '(~1.4-2x fewer points) — on a scalar CPU that favors '
-                  'the reference; on TPU the dense design is what makes '
-                  'the MXU usable (see PERF.md and BENCH_r*.json for the '
-                  'TPU rays/s).'),
+                  'reference boolean-indexes the adaptive active set — '
+                  'the dense/adaptive point counts above quantify that '
+                  'trade; the per-shaded-point ratio is the '
+                  'work-normalized framework comparison. On TPU the dense '
+                  'design is what makes the MXU usable (PERF.md, '
+                  'BENCH_r*.json).'),
     }
     with open(os.path.join(os.path.dirname(__file__) or '.',
                            'BENCH_BASELINE.json'), 'w') as f:

@@ -504,8 +504,9 @@ class TestShadeGradKernel:
             if cfg.use_film else None
         return hypernet_generate(params, cfg, cond, latent)
 
-    def _check(self, gen, x, rng, tile, tile_bwd):
-        from arah_tpu.ops.pallas.shade_grad_kernel import siren_shade_grad
+    def _check(self, gen, x, rng, tile, tile_bwd, xla_twin=False):
+        from arah_tpu.ops.pallas.shade_grad_kernel import (
+            siren_shade_grad, siren_shade_grad_xla)
 
         def xla_path(g, p):
             def sdf_feat(q):
@@ -515,8 +516,11 @@ class TestShadeGradKernel:
                 jax.jacfwd(sdf_feat, has_aux=True))(p)
             return out, feat, grads
 
-        ker_path = lambda g, p: siren_shade_grad(
-            g, p, tile=tile, tile_bwd=tile_bwd)
+        if xla_twin:
+            ker_path = lambda g, p: siren_shade_grad_xla(g, p)
+        else:
+            ker_path = lambda g, p: siren_shade_grad(
+                g, p, tile=tile, tile_bwd=tile_bwd)
 
         # ---- forward parity
         o1, f1, g1 = xla_path(gen, x)
@@ -558,6 +562,21 @@ class TestShadeGradKernel:
         gen = self._gen(cfg, 1, rng)
         x = jnp.asarray(rng.uniform(-1, 1, (130, 3)).astype(np.float32))
         self._check(gen, x, rng, tile=64, tile_bwd=64)
+
+    def test_xla_twin_film(self, rng):
+        """The pure-XLA hand-VJP twin (CPU training default) against the
+        autodiff path — values and all gradients."""
+        cfg = HypernetConfig(hidden_features=64, num_hidden_layers=3)
+        gen = self._gen(cfg, 2, rng)
+        x = jnp.asarray(rng.uniform(-1, 1, (200, 3)).astype(np.float32))
+        self._check(gen, x, rng, tile=0, tile_bwd=0, xla_twin=True)
+
+    def test_xla_twin_no_film(self, rng):
+        cfg = HypernetConfig(use_film=False, hidden_features=64,
+                             num_hidden_layers=2)
+        gen = self._gen(cfg, 3, rng)
+        x = jnp.asarray(rng.uniform(-1, 1, (130, 3)).astype(np.float32))
+        self._check(gen, x, rng, tile=0, tile_bwd=0, xla_twin=True)
 
     def test_train_render_grads_via_dispatch(self, rng, monkeypatch):
         """Drive the REAL training dispatch (renderer -> shade_grad
@@ -610,7 +629,11 @@ class TestShadeGradKernel:
                     + jnp.sum((jnp.linalg.norm(out['grad_theta'], axis=-1)
                                - 1.0) ** 2))
 
+        # baseline: the plain autodiff path (ARAH_DISABLE_PALLAS also
+        # bypasses the XLA hand-VJP twin, the CPU training default)
+        monkeypatch.setenv('ARAH_DISABLE_PALLAS', '1')
         g_xla = jax.grad(scalar_loss)(params)
+        monkeypatch.delenv('ARAH_DISABLE_PALLAS')
         monkeypatch.setenv('ARAH_FORCE_PALLAS', '1')
         g_ker = jax.grad(scalar_loss)(params)
         for a, b in zip(jax.tree.leaves(g_xla), jax.tree.leaves(g_ker)):

@@ -167,6 +167,63 @@ class TestRenderTrain:
         assert skin_norm > 0
 
 
+class TestIsoTrainModeMask:
+    def test_train_mode_refines_all_rays_eval_skips_diverged(self, rng):
+        """Pin the iso-refinement active mask to the reference's
+        semantics: `~diverge_mask if eval_mode else ones`
+        (`/root/reference/im2mesh/metaavatar_render/renderer/
+        ray_tracing.py:249` — 'For non-divergent (during testing, to
+        save computation) or all (during training) rays'). A random-init
+        SIREN diverges many rays, so the two masks must actually differ.
+        """
+        import arah_tpu.render.ray_tracing as rt
+        from arah_tpu.render.renderer import (generate_sdf, make_sdf_fn,
+                                              make_skin_fn)
+
+        cfg = small_config()
+        params, fd, inp, _ = make_inputs(cfg, rng, n_rays=32)
+        # force half the rays to diverge: an artificially short far bound
+        # makes the march walk past it (diverged = t >= far), exactly the
+        # reference's diverge_mask trigger
+        far = np.array(inp.far)
+        far[16:] = np.asarray(inp.near)[16:] + 0.05
+        inp = inp._replace(far=jnp.asarray(far))
+        gen = generate_sdf(params, cfg, fd.rots, fd.Jtrs,
+                           params['latent'][0])
+        sdf_fn = make_sdf_fn(gen)
+        skin_fn = make_skin_fn(params, cfg)
+
+        captured = {}
+        orig = rt.search_iso_surface_depth
+
+        def spy(sdf_fn, skin_fn, frame, cam_loc, ray_dirs, valid, *a, **k):
+            captured['valid'] = np.asarray(valid)
+            return orig(sdf_fn, skin_fn, frame, cam_loc, ray_dirs,
+                        valid, *a, **k)
+
+        cam_b = jnp.broadcast_to(inp.cam_loc, inp.ray_dirs.shape)
+        rt.search_iso_surface_depth = spy
+        try:
+            rt.trace_and_sample(cfg.tracer, sdf_fn, skin_fn, inp.frame,
+                                inp.smpl, cam_b, inp.ray_dirs, inp.near,
+                                inp.far, jax.random.PRNGKey(3),
+                                eval_mode=False)
+            train_valid = captured['valid']
+            rt.trace_and_sample(cfg.tracer, sdf_fn, skin_fn, inp.frame,
+                                inp.smpl, cam_b, inp.ray_dirs, inp.near,
+                                inp.far, jax.random.PRNGKey(3),
+                                eval_mode=True)
+            eval_valid = captured['valid']
+        finally:
+            rt.search_iso_surface_depth = orig
+
+        assert train_valid.all(), \
+            'training must refine ALL rays incl. diverged (reference ' \
+            'ray_tracing.py:249)'
+        assert not eval_valid.all(), \
+            'eval must skip diverged rays (and this scene must have some)'
+
+
 class TestBf16Shading:
     def test_bf16_close_to_f32_and_grads_finite(self, rng):
         """bf16-matmul/f32-accum shading must stay visually indistinguish-

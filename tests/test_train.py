@@ -92,6 +92,38 @@ class TestSingleDevice:
         assert labels['deviation']['variance'] == 'deviation'
         assert labels['latent'] == 'latent'
 
+    def test_lr_schedule_decays_updates(self):
+        """Optional global lr decay (beyond-reference; the reference has
+        no scheduler): the same gradient must produce a smaller update
+        at a late step than at step 0, scaled by the schedule factor."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+        from arah_tpu.train.optim import OptimConfig, make_optimizer
+
+        params = {'color': {'layers': [{'v': jnp.ones((4, 4)),
+                                        'g': jnp.ones((4, 1)),
+                                        'b': jnp.zeros(4)}]}}
+        grads = jax.tree.map(jnp.ones_like, params)
+
+        def update_norm(cfg, n_warm):
+            opt, _ = make_optimizer(cfg, params)
+            st = opt.init(params)
+            upd = None
+            for _ in range(n_warm + 1):
+                upd, st = opt.update(grads, st, params)
+            return float(jnp.abs(upd['color']['layers'][0]['v']).max())
+
+        base = OptimConfig()
+        cos = base._replace(lr_schedule='cosine', lr_decay_steps=100,
+                            lr_min_factor=0.1)
+        # constant: same magnitude at step 0 and step 100
+        assert abs(update_norm(base, 100) - update_norm(base, 0)) < 1e-9
+        # cosine: decayed to the floor by decay_steps
+        early, late = update_norm(cos, 0), update_norm(cos, 100)
+        assert late < 0.2 * early, (early, late)
+        assert late > 0.05 * early   # floored at min_factor
+
 
 class TestSharded:
     @pytest.mark.slow
