@@ -23,8 +23,17 @@ def positional_encoding(x: jax.Array, multires: int,
     if multires <= 0:
         return x
     freqs = 2.0 ** np.arange(multires, dtype=np.float32)
-    out = [x] if include_input else []
-    for f in freqs:
-        out.append(jnp.sin(x * f))
-        out.append(jnp.cos(x * f))
-    return jnp.concatenate(out, axis=-1)
+    # one sin + one cos over all frequencies at once: (..., D)-shaped
+    # elementwise ops use D of 128 TPU lanes, so 2*multires separate
+    # (N, 3) transcendental fusions waste ~40x lane width each; batching
+    # them into (..., multires*D) cuts the op count 2*multires -> 2
+    D = x.shape[-1]
+    xf = (x[..., None, :] * freqs[:, None]).reshape(x.shape[:-1] + (-1,))
+    s = jnp.sin(xf).reshape(x.shape[:-1] + (multires, 1, D))
+    c = jnp.cos(xf).reshape(x.shape[:-1] + (multires, 1, D))
+    # interleave to the reference layout [sin(f x), cos(f x)] per freq
+    sc = jnp.concatenate([s, c], axis=-2).reshape(
+        x.shape[:-1] + (2 * multires * D,))
+    if include_input:
+        return jnp.concatenate([x, sc], axis=-1)
+    return sc

@@ -27,6 +27,11 @@ def nn_idx(points: jax.Array, verts: jax.Array,
         d = v_sq[None, :] - 2.0 * (p @ verts.T)
         return jnp.argmin(d, axis=-1).astype(jnp.int32)
 
+    # Measured on v5e INSIDE the flagship train step (131k x 6946):
+    # chunked lax.map 2.7 ms vs unchunked 4.9 ms — XLA lowers the fused
+    # K=3 matmul + variadic (min, argmin) reduce as a serial loop fusion
+    # either way (the skinny contraction never reaches the MXU), and the
+    # chunked form schedules better. Keep the chunked path everywhere.
     if n <= chunk:
         return one_chunk(points)
     pad = (-n) % chunk

@@ -119,3 +119,84 @@ class TestDensity:
                         * (1 - torch.exp(-torch.abs(-sdf) * inv_beta))))
         ours = volsdf_density(jnp.asarray(sdf.numpy()), jnp.float32(0.005))
         np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-5)
+
+
+class TestCompositeMasked:
+    """composite_masked (gather-free) must equal pack_left+composite AND
+    the torch oracle on arbitrary masks over ascending z rows."""
+
+    def _ours(self, rgb, density, z, mask, n_steps, render_last_pt=False):
+        from arah_tpu.render.volsdf import composite_masked
+        return composite_masked(jnp.asarray(rgb), jnp.asarray(density),
+                                jnp.asarray(z), jnp.asarray(mask),
+                                n_steps=n_steps,
+                                render_last_pt=render_last_pt)
+
+    def test_matches_packed_and_oracle(self, rng):
+        n_pts, S = 64, 16
+        z = np.sort(rng.rand(n_pts, S).astype(np.float32) * 3 + 1, axis=-1)
+        rgb = rng.rand(n_pts, S, 3).astype(np.float32)
+        density = rng.rand(n_pts, S).astype(np.float32) * 50
+        mask = rng.rand(n_pts, S) > 0.4
+        mask[mask.sum(-1) == 0, 0] = True
+        mask[1] = True
+        mask[2] = False
+        mask[2, S - 1] = True     # single valid sample, last slot
+
+        ref_rgb, ref_w = torch_oracle(
+            torch.tensor(rgb), torch.tensor(density), torch.tensor(z),
+            torch.tensor(mask), n_steps=S)
+        order, packed = pack_left(jnp.asarray(mask), jnp.asarray(z))
+        packed_out = composite(
+            jnp.take_along_axis(jnp.asarray(rgb), order[..., None], axis=1),
+            jnp.take_along_axis(jnp.asarray(density), order, axis=1),
+            jnp.take_along_axis(jnp.asarray(z), order, axis=1),
+            packed, n_steps=S)
+        out = self._ours(rgb, density, z, mask, n_steps=S)
+        np.testing.assert_allclose(np.asarray(out.rgb), ref_rgb, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out.weights_sum), ref_w,
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out.rgb),
+                                   np.asarray(packed_out.rgb), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out.weights_sum),
+                                   np.asarray(packed_out.weights_sum),
+                                   atol=1e-6)
+
+    def test_render_last_pt(self, rng):
+        n_pts, S = 16, 8
+        z = np.sort(rng.rand(n_pts, S).astype(np.float32) + 1, axis=-1)
+        rgb = rng.rand(n_pts, S, 3).astype(np.float32)
+        density = rng.rand(n_pts, S).astype(np.float32) * 10
+        mask = rng.rand(n_pts, S) > 0.3
+        mask[mask.sum(-1) == 0, 0] = True
+        ref_rgb, ref_w = torch_oracle(
+            torch.tensor(rgb), torch.tensor(density), torch.tensor(z),
+            torch.tensor(mask), n_steps=S, render_last_pt=True)
+        out = self._ours(rgb, density, z, mask, n_steps=S,
+                         render_last_pt=True)
+        np.testing.assert_allclose(np.asarray(out.rgb), ref_rgb, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out.weights_sum), ref_w,
+                                   atol=1e-5)
+
+    def test_empty_ray_and_grads_finite(self, rng):
+        import jax
+        n_pts, S = 4, 8
+        z = np.sort(rng.rand(n_pts, S).astype(np.float32) + 1, axis=-1)
+        rgb = rng.rand(n_pts, S, 3).astype(np.float32)
+        density = rng.rand(n_pts, S).astype(np.float32) * 10
+        mask = np.zeros((n_pts, S), bool)
+        out = self._ours(rgb, density, z, mask, n_steps=S)
+        np.testing.assert_allclose(np.asarray(out.rgb), 0.0)
+        np.testing.assert_allclose(np.asarray(out.weights_sum), 0.0)
+        # gradients through the masked (inf-guarded) path must be finite
+        from arah_tpu.render.volsdf import composite_masked
+        mask2 = rng.rand(n_pts, S) > 0.4
+
+        def f(d, r):
+            o = composite_masked(r, d, jnp.asarray(z), jnp.asarray(mask2),
+                                 n_steps=S)
+            return jnp.sum(o.rgb) + jnp.sum(o.weights_sum)
+        gd, gr = jax.grad(f, argnums=(0, 1))(jnp.asarray(density),
+                                             jnp.asarray(rgb))
+        assert np.isfinite(np.asarray(gd)).all()
+        assert np.isfinite(np.asarray(gr)).all()
