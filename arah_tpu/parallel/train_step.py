@@ -128,11 +128,16 @@ def _block_loss(params, cfg: ModelConfig, loss_w: LossWeights,
 def make_train_step(cfg: ModelConfig, loss_w: LossWeights, optimizer,
                     mesh: Mesh | None = None, axis: str = 'data',
                     smpl_model=None, refine_smpl: bool = False,
-                    refine_cameras: bool = False):
+                    refine_cameras: bool = False,
+                    donate: bool = True):
     """Build the jitted (optionally sharded) train step.
 
     Returns step(state, batch, key) -> (state, metrics). With a mesh, batch
     blocks must be sharded over `axis` and divisible by its size.
+    donate=True (default) aliases the input TrainState's buffers into the
+    outputs (the ~90 M-param Adam state would otherwise double-buffer
+    ~1 GB of HBM); the passed-in state is DELETED after the call — pass
+    donate=False to step repeatedly from one state (A/B harnesses).
     refine_smpl/refine_cameras enable the differentiable per-frame SMPL /
     camera-extrinsic paths (params['smpl_params']/'betas'/'cam_rots'/
     'cam_trans' must exist).
@@ -174,7 +179,7 @@ def make_train_step(cfg: ModelConfig, loss_w: LossWeights, optimizer,
         return params, opt_state, step + 1, losses
 
     if mesh is None:
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0,) if donate else ())
         def step_fn(state: TrainState, batch: TrainBatch, key):
             n_blocks = batch.ray_dirs.shape[0]
             p, o, s, losses = local_step(
@@ -206,7 +211,7 @@ def make_train_step(cfg: ModelConfig, loss_w: LossWeights, optimizer,
         # tests/test_multiprocess.py grad-sync.
         check_vma=False)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step_fn(state: TrainState, batch: TrainBatch, key):
         p, o, s, losses = sharded_step(
             state.params, state.opt_state, state.step, batch, key)

@@ -76,7 +76,10 @@ def main():
         state = TrainState(params, optimizer.init(params), jnp.int32(0))
         key = jax.random.PRNGKey(2)
         for name in names:
-            step = make_train_step(variant(name), loss_w, optimizer)
+            # donate=False: every variant steps repeatedly from the SAME
+            # state; donation would delete it after the first call
+            step = make_train_step(variant(name), loss_w, optimizer,
+                                   donate=False)
             fns[name] = lambda step=step: step(state, batch, key)[1]['loss']
     else:
         from arah_tpu.render.renderer import render

@@ -41,23 +41,28 @@ class TestSingleDevice:
     def test_step_runs_and_updates(self):
         cfg, loss_w, optimizer, state, batch, labels = setup()
         step = make_train_step(cfg, loss_w, optimizer)
+        # the step donates its input state; snapshot what we compare
+        old = jax.tree.map(jnp.copy, {
+            'color': state.params['color']['layers'],
+            'mapping': state.params['hypernet']['mapping'],
+            'hypo_init': state.params['hypernet']['hypo_init']})
         new_state, losses = step(state, batch, jax.random.PRNGKey(3))
         assert np.isfinite(float(losses['loss']))
         assert int(new_state.step) == 1
         # color params must have moved; frozen mapping network must not
         d_color = jax.tree.map(
             lambda a, b: float(jnp.max(jnp.abs(a - b))),
-            state.params['color']['layers'],
+            old['color'],
             new_state.params['color']['layers'])
         assert max(jax.tree.leaves(d_color)) > 0
         d_map = jax.tree.map(
             lambda a, b: float(jnp.max(jnp.abs(a - b))),
-            state.params['hypernet']['mapping'],
+            old['mapping'],
             new_state.params['hypernet']['mapping'])
         assert max(jax.tree.leaves(d_map)) == 0
         d_init = jax.tree.map(
             lambda a, b: float(jnp.max(jnp.abs(a - b))),
-            state.params['hypernet']['hypo_init'],
+            old['hypo_init'],
             new_state.params['hypernet']['hypo_init'])
         assert max(jax.tree.leaves(d_init)) == 0
 
@@ -73,12 +78,13 @@ class TestSingleDevice:
         loss_w = LossWeights(n_ray_loss=n_loss, patch_size=ps,
                              perceptual=0.1)
         step = make_train_step(cfg, loss_w, optimizer)
+        old_color = jax.tree.map(jnp.copy, state.params['color']['layers'])
         new_state, losses = step(state, batch, jax.random.PRNGKey(3))
         assert np.isfinite(float(losses['loss']))
         assert float(losses['perceptual_loss']) > 0
         d_color = jax.tree.map(
             lambda a, b: float(jnp.max(jnp.abs(a - b))),
-            state.params['color']['layers'],
+            old_color,
             new_state.params['color']['layers'])
         assert max(jax.tree.leaves(d_color)) > 0
 
