@@ -150,12 +150,17 @@ def bench_torch(scene, shared, modules):
 
     loss0 = step()                      # warmup
     shade_counts.update(valid=0, candidate=0, calls=0)
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
+
+    def timed_step():
+        t0 = time.perf_counter()
         step()
-    dt = (time.perf_counter() - t0) / ITERS
-    counts = {k: v / max(ITERS, 1) for k, v in shade_counts.items()}
-    return N_RAYS / dt, dt, loss0, counts
+        return time.perf_counter() - t0
+
+    def counts():
+        n = max(shade_counts['calls'], 1.0)
+        return {k: v / n for k, v in shade_counts.items()
+                if k != 'calls'} | {'calls': 1.0}
+    return timed_step, loss0, counts
 
 
 def bench_ours(scene, shared, params):
@@ -214,14 +219,17 @@ def bench_ours(scene, shared, params):
     key = jax.random.PRNGKey(1)
     (loss0, n_valid), grads = grad_fn(params, key)
     jax.block_until_ready(grads)        # warmup (incl. compile)
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        (loss, n_valid), grads = grad_fn(params, jax.random.fold_in(key, i))
-    jax.block_until_ready(grads)
-    dt = (time.perf_counter() - t0) / ITERS
+    it = iter(range(1 << 20))
+
+    def timed_step():
+        t0 = time.perf_counter()
+        (_, nv), grads = grad_fn(params, jax.random.fold_in(key, next(it)))
+        jax.block_until_ready(grads)
+        return time.perf_counter() - t0
+
     counts = {'valid': float(n_valid),
               'dense': float(N_RAYS * cfg.tracer.n_steps)}
-    return N_RAYS / dt, dt, float(loss0), counts
+    return timed_step, float(loss0), lambda: counts
 
 
 def main():
@@ -237,13 +245,25 @@ def main():
     params = convert_params(sdf_decoder, skinning_model, color, deviation,
                             'flagship')
 
-    ours_rps, ours_dt, ours_loss, ours_counts = bench_ours(
+    # interleave the timed steps (ref, ours, ref, ours, ...): same-host
+    # CPU throughput drifts across minutes (other tenants), so paired
+    # alternation is the only drift-fair protocol; medians per side
+    ours_step, ours_loss, ours_counts_fn = bench_ours(
         scene, shared, params)
+    ref_step, ref_loss, ref_counts_fn = bench_torch(scene, shared, modules)
+    ours_ts, ref_ts = [], []
+    for k in range(ITERS):
+        ref_ts.append(ref_step())
+        ours_ts.append(ours_step())
+        print(f'pair {k}: ref {ref_ts[-1]:.1f}s ours {ours_ts[-1]:.1f}s',
+              flush=True)
+    ours_dt = float(np.median(ours_ts))
+    ref_dt = float(np.median(ref_ts))
+    ours_rps, ref_rps = N_RAYS / ours_dt, N_RAYS / ref_dt
+    ours_counts, ref_counts = ours_counts_fn(), ref_counts_fn()
     print(f'arah_tpu (XLA:CPU): {ours_rps:.1f} rays/s '
           f'({ours_dt:.2f} s/step, loss {ours_loss:.3e}, '
           f'shaded {ours_counts})', flush=True)
-    ref_rps, ref_dt, ref_loss, ref_counts = bench_torch(
-        scene, shared, modules)
     print(f'reference (torch CPU): {ref_rps:.1f} rays/s '
           f'({ref_dt:.2f} s/step, loss {ref_loss:.3e}, '
           f'shaded {ref_counts})', flush=True)
@@ -257,6 +277,7 @@ def main():
         'hardware': f'CPU x{os.cpu_count()}',
         'n_rays': N_RAYS,
         'iters': ITERS,
+        'protocol': 'interleaved pairs, median per side',
         'ref_torch_cpu_rays_s': round(ref_rps, 2),
         'ref_torch_cpu_s_per_step': round(ref_dt, 3),
         'arah_tpu_cpu_rays_s': round(ours_rps, 2),
