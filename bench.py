@@ -34,6 +34,9 @@ def apply_env_overrides(cfg):
     if os.environ.get('BENCH_NO_PALLAS_CORR') == '1':
         cfg = cfg._replace(
             tracer=cfg.tracer._replace(use_pallas_corr=False))
+    if os.environ.get('BENCH_PALLAS_ISO') in ('0', '1'):
+        cfg = cfg._replace(tracer=cfg.tracer._replace(
+            use_pallas_iso=os.environ['BENCH_PALLAS_ISO'] == '1'))
     if os.environ.get('BENCH_XLA_ONLY') == '1':
         cfg = cfg._replace(tracer=cfg.tracer._replace(
             use_pallas_corr=False, use_pallas_march=False,
