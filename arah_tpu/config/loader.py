@@ -115,7 +115,7 @@ def model_config_from_cfg(cfg: dict, low_vram: bool = False):
         # global ARAH_DISABLE_PALLAS=1 env switch)
         use_pallas_corr=m.get('use_pallas_corr', True),
         use_pallas_march=m.get('use_pallas_march', True),
-        use_pallas_iso=m.get('use_pallas_iso', False),
+        use_pallas_iso=m.get('use_pallas_iso', True),
         # 'f32' (default) | 'split3' (bf16x3; measured slower, PERF.md)
         pallas_precision=m.get('pallas_precision', 'f32'),
     )

@@ -85,11 +85,12 @@ class RayTracerConfig(NamedTuple):
     pallas_march_tile: int = 256
     # fused joint (canonical point, depth) iso-surface Broyden kernel
     # (ops/pallas/iso_kernel.py); needs BOTH skin_dense and sdf_gen.
-    # Default OFF: measured SLOWER than the XLA solver (44 ms vs ~20 ms
-    # loop time at 8192 rays x 50 iters on v5e, bench_iso.py) — the iso
-    # solve runs over rays (not ray-samples), which is small enough that
-    # the dense XLA loop is already MXU-bound; kept for study.
-    use_pallas_iso: bool = False
+    # Default ON since round 3b: re-measured IN-STEP after the glue pass,
+    # it wins at both train (2048 rays: 76.9 vs 80.0 ms/step) and eval
+    # (8192 rays: 46.2k vs 45.4k rays/s) — the round-2 "slower than XLA"
+    # reading (44 vs ~20 ms isolated at 8192 rays) predates the current
+    # step structure; bench.py BENCH_PALLAS_ISO=0/1 reproduces the A/B.
+    use_pallas_iso: bool = True
     pallas_iso_tile: int = 512
 
 
