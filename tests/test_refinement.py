@@ -71,13 +71,15 @@ def test_refinement_gradients():
     state = TrainState(params, opt.init(params), jnp.int32(0))
     step = make_train_step(cfg, loss_w, opt, smpl_model=model,
                            refine_smpl=True, refine_cameras=True)
+    # the step donates its input state; snapshot the compared leaves
+    old_pose = jnp.copy(params['smpl_params']['pose_body'])
+    old_cam = jnp.copy(params['cam_rots'])
     new_state, losses = step(state, batch, jax.random.PRNGKey(3))
     assert np.isfinite(float(losses['loss']))
     # SMPL pose + camera params must have received updates
     d_pose = float(jnp.max(jnp.abs(
-        new_state.params['smpl_params']['pose_body']
-        - params['smpl_params']['pose_body'])))
+        new_state.params['smpl_params']['pose_body'] - old_pose)))
     d_cam = float(jnp.max(jnp.abs(
-        new_state.params['cam_rots'] - params['cam_rots'])))
+        new_state.params['cam_rots'] - old_cam)))
     assert d_pose > 0
     assert d_cam > 0
