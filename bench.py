@@ -34,6 +34,12 @@ def apply_env_overrides(cfg):
     if os.environ.get('BENCH_NO_PALLAS_CORR') == '1':
         cfg = cfg._replace(
             tracer=cfg.tracer._replace(use_pallas_corr=False))
+    if os.environ.get('BENCH_CORR_TILE'):
+        cfg = cfg._replace(tracer=cfg.tracer._replace(
+            pallas_corr_tile=int(os.environ['BENCH_CORR_TILE'])))
+    if os.environ.get('BENCH_ISO_TILE'):
+        cfg = cfg._replace(tracer=cfg.tracer._replace(
+            pallas_iso_tile=int(os.environ['BENCH_ISO_TILE'])))
     if os.environ.get('BENCH_PALLAS_ISO') in ('0', '1'):
         cfg = cfg._replace(tracer=cfg.tracer._replace(
             use_pallas_iso=os.environ['BENCH_PALLAS_ISO'] == '1'))
