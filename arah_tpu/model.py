@@ -8,6 +8,7 @@ posed SMPL body into the `RenderInputs` the renderer consumes.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -72,6 +73,11 @@ def prepare_frame(model: SmplModel, betas: jax.Array, pose: jax.Array,
                   trans: jax.Array, box_margin: float = 0.05) -> FrameData:
     """SMPL params -> renderer frame inputs (fully differentiable).
 
+    Dispatches to ONE jitted executable (joint topology static): on the
+    axon-tunnelled TPU every EAGER jnp op is its own remote compile
+    round-trip, and this function's ~100 small ops cost 400+ s of
+    per-process startup eager (vs one persisted compile jitted).
+
     Mirrors the preprocessing done by the reference datasets
     (`data/zju_mocap.py:284-326,435-453`) and the train-SMPL branch of
     `compose_inputs` (`lightning_model.py:501-545`):
@@ -83,6 +89,15 @@ def prepare_frame(model: SmplModel, betas: jax.Array, pose: jax.Array,
 
     Args: betas (10,), pose (72,) axis-angle, trans (3,).
     """
+    parents_t = tuple(int(j) for j in np.asarray(model.parents))
+    return _prepare_frame_jit(model, betas, pose, trans, box_margin,
+                              parents_t)
+
+
+@partial(jax.jit, static_argnames=('parents_t',))
+def _prepare_frame_jit(model: SmplModel, betas, pose, trans, box_margin,
+                       parents_t) -> FrameData:
+    model = model._replace(parents=np.asarray(parents_t, np.int32))
     betas = betas[None]
     pose = pose[None]
     v_shaped = model.v_template[None] + blend_shapes(betas, model.shapedirs)

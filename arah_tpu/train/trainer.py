@@ -98,7 +98,7 @@ def train(cfg: dict, model_cfg, loss_w, optim_cfg, dataset, params,
     logger = MetricLogger(out_dir) if is_main else None
 
     optimizer, _ = make_optimizer(optim_cfg, params)
-    state = TrainState(params, optimizer.init(params), jnp.int32(0))
+    state = TrainState(params, jax.jit(optimizer.init)(params), jnp.int32(0))
 
     start_epoch = 0
     restored, step = ckpt_lib.restore_checkpoint(ckpt_dir, state)

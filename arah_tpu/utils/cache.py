@@ -19,6 +19,8 @@ def enable_compilation_cache(path: str | None = None):
     try:
         jax.config.update('jax_compilation_cache_dir', path)
         jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+        # 0.0: persist EVERY executable — on the axon remote compiler even
+        # sub-0.5 s compiles cost a multi-second round trip per process
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
     except Exception as e:  # older jax versions
         print(f'compilation cache unavailable: {e}')

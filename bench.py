@@ -99,7 +99,7 @@ batch = synthetic_train_batch(jax.random.PRNGKey(1), fd, n_blocks=1,
                               n_rays=n_rays, n_reg=1024)
 loss_w = LossWeights(n_ray_loss=n_rays)
 optimizer, _ = make_optimizer(OptimConfig(train_skinning_net=True), params)
-state = TrainState(params, optimizer.init(params), jnp.int32(0))
+state = TrainState(params, jax.jit(optimizer.init)(params), jnp.int32(0))
 step = make_train_step(cfg, loss_w, optimizer)
 key = jax.random.PRNGKey(2)
 

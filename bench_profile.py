@@ -69,7 +69,7 @@ def main():
     loss_w = LossWeights(n_ray_loss=args.rays)
     optimizer, _ = make_optimizer(OptimConfig(train_skinning_net=True),
                                   params)
-    state = TrainState(params, optimizer.init(params), jnp.int32(0))
+    state = TrainState(params, jax.jit(optimizer.init)(params), jnp.int32(0))
     step = make_train_step(cfg, loss_w, optimizer)
     key = jax.random.PRNGKey(2)
     state, losses = step(state, batch, key)
