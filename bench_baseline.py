@@ -251,12 +251,20 @@ def main():
     ours_step, ours_loss, ours_counts_fn = bench_ours(
         scene, shared, params)
     ref_step, ref_loss, ref_counts_fn = bench_torch(scene, shared, modules)
-    ours_ts, ref_ts = [], []
+    ours_ts, ref_ts, pair_ratios = [], [], []
     for k in range(ITERS):
-        ref_ts.append(ref_step())
-        ours_ts.append(ours_step())
-        print(f'pair {k}: ref {ref_ts[-1]:.1f}s ours {ours_ts[-1]:.1f}s',
-              flush=True)
+        # alternate order within pairs: host throughput trends on a
+        # minutes scale (measured 2x within one run), so a fixed order
+        # biases whichever side runs second
+        if k % 2 == 0:
+            ref_ts.append(ref_step())
+            ours_ts.append(ours_step())
+        else:
+            ours_ts.append(ours_step())
+            ref_ts.append(ref_step())
+        pair_ratios.append(ref_ts[-1] / ours_ts[-1])
+        print(f'pair {k}: ref {ref_ts[-1]:.1f}s ours {ours_ts[-1]:.1f}s '
+              f'ratio {pair_ratios[-1]:.3f}', flush=True)
     ours_dt = float(np.median(ours_ts))
     ref_dt = float(np.median(ref_ts))
     ours_rps, ref_rps = N_RAYS / ours_dt, N_RAYS / ref_dt
@@ -282,7 +290,11 @@ def main():
         'ref_torch_cpu_s_per_step': round(ref_dt, 3),
         'arah_tpu_cpu_rays_s': round(ours_rps, 2),
         'arah_tpu_cpu_s_per_step': round(ours_dt, 3),
-        'cpu_like_for_like_ratio': round(ours_rps / ref_rps, 3),
+        'cpu_like_for_like_ratio': round(
+            float(np.median(pair_ratios)), 3),
+        'pair_ratios': [round(r, 3) for r in pair_ratios],
+        'ref_pair_seconds': [round(t, 1) for t in ref_ts],
+        'ours_pair_seconds': [round(t, 1) for t in ours_ts],
         # shaded-work accounting: the dense design shades every
         # (ray, sample) slot; the reference boolean-indexes the converged
         # set. Normalizing each side's step time by the points it
