@@ -132,10 +132,20 @@ def _make_kernel(n_layers, max_steps, cvg_thresh, dvg_thresh, eps,
         # it touches the raw solver positions)
         if precision == 'split3':
             w_split = [split_f32(w_refs[i][:]) for i in range(n_layers)]
+        elif precision == 'bf16':
+            w_bf16 = [w_refs[i][:].astype(jnp.bfloat16)
+                      for i in range(n_layers)]
 
         def layer_dot(i, h):
             if precision == 'split3' and i > 0:
                 return dot_split3(w_split[i][0], w_split[i][1], h)
+            if precision == 'bf16' and i > 0:
+                # single-pass bf16 MXU matmul, f32 accumulation. NOT
+                # result-equivalent: hidden activations round to bf16,
+                # so the skinning residual floors at ~1e-3 — usable only
+                # with a relaxed cvg_thresh (ROADMAP item 3 study).
+                return jnp.dot(w_bf16[i], h.astype(jnp.bfloat16),
+                               preferred_element_type=jnp.float32)
             return jnp.dot(w_refs[i][:], h,
                            preferred_element_type=jnp.float32)
 
@@ -269,14 +279,20 @@ def corr_search_pallas_t(x_bar, x0, T0_16, mask, skin_weights, skin_biases,
       skin_weights: list of dense (out, in) skinning MLP weights (weight
         norm already collapsed); skin_biases: list of (out,);
       bones16: (24, 16); coord_min/coord_max: scalars; center: (3,).
-      precision: 'f32' (default) or 'split3' (hidden/final MLP matmuls
-        as three bf16 MXU passes; see ops/pallas/precision.py).
-        MEASURED NEGATIVE on v5e: 78.0 vs 61.9 ms at forced 50
-        iterations x 262k points — this kernel is not matmul-bound
-        (isolated chained (128,128)x(128,2048) dots DO run 2x faster in
-        bf16: 94 vs 47 TFLOP/s), so the extra passes + casts lose to
-        MXU/VPU overlap. Kept as an option for future reuse in
-        matmul-bound kernels.
+      precision: 'f32' (default), 'split3' (hidden/final MLP matmuls
+        as three bf16 MXU passes, f32-exact; see ops/pallas/precision.py)
+        or 'bf16' (single-pass bf16 matmuls, f32 accumulation — NOT
+        result-equivalent; hidden activations round to bf16 so the
+        residual floors at ~1e-3, needs a relaxed cvg_thresh).
+        BOTH are MEASURED NEGATIVES on v5e at forced 50 iterations x
+        262k points: split3 78.0 ms and single-pass bf16 59.4 ms vs
+        58.4 ms plain f32 — this kernel is not matmul-bound (isolated
+        chained (128,128)x(128,2048) dots DO run 2x faster in bf16: 94
+        vs 47 TFLOP/s); the MLP dots fully overlap the VPU Broyden
+        algebra, so cheaper matmuls buy nothing and split3's extra
+        passes + casts add latency. Closes ROADMAP item 3 (bf16
+        solver) without the relaxed-threshold semantics change. Kept
+        as options for future matmul-bound kernels.
     Returns (x_hat (N, 3), T16 (N, 16), valid (N,)).
     """
     if interpret is None:

@@ -23,6 +23,9 @@ def main():
     p.add_argument('--iters', type=int, default=5)
     p.add_argument('--variants', default='dense,chunked,pallas_t')
     p.add_argument('--tiles', default='512,2048')
+    p.add_argument('--cvg', type=float, default=1e-5,
+                   help='convergence threshold; 0 forces max_steps '
+                        'iterations on every point (pure-speed A/B)')
     args = p.parse_args()
 
     from arah_tpu.nn.skinning import SkinningConfig, init_skinning
@@ -106,19 +109,22 @@ def main():
                 x_bar, x0, T0.reshape(n, 16), mask, wts_t, bs, bones16,
                 frame.coord_min, frame.coord_max, frame.center, tile=tile)
             results[f'pallas{tile}'] = timeit(f'pallas (T,k) tile={tile}', f)
-    if 'pallas_t' in variants or 'pallas_t_f32' in variants:
+    if any(v.startswith('pallas_t') and v != 'pallas_t_sorted'
+           for v in variants):
         from arah_tpu.ops.pallas.corr_kernel_t import corr_search_pallas_t
         precisions = []
         if 'pallas_t_f32' in variants:
             precisions.append('f32')
         if 'pallas_t' in variants:
             precisions.append('split3')
+        if 'pallas_t_bf16' in variants:
+            precisions.append('bf16')
         for tile in [int(t) for t in args.tiles.split(',')]:
             for prec in precisions:
                 f = lambda tile=tile, prec=prec: corr_search_pallas_t(
                     x_bar, x0, T0.reshape(n, 16), mask, wts, bs, bones16,
                     frame.coord_min, frame.coord_max, frame.center,
-                    tile=tile, precision=prec)
+                    tile=tile, precision=prec, cvg_thresh=args.cvg)
                 results[f'pallas_t{tile}_{prec}'] = timeit(
                     f'pallas (k,T) tile={tile} {prec}', f)
 

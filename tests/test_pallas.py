@@ -197,6 +197,46 @@ class TestCorrKernelTransposed:
         np.testing.assert_allclose(np.asarray(x_hat)[off],
                                    np.asarray(x0)[off], atol=1e-6)
 
+    def test_bf16_precision_relaxed_threshold(self, rng):
+        """precision='bf16' (single-pass bf16 matmuls, f32 accum) pins
+        the ROADMAP-3 contract: hidden-activation rounding floors the
+        residual at ~1e-3, so it only converges under a relaxed
+        cvg_thresh and agrees with f32 roots to ~2e-3. Speed verdict
+        lives in PERF.md (kernel is VPU-bound); this test keeps the
+        option compiling and semantically honest."""
+        from arah_tpu.nn.skinning import SkinningConfig, init_skinning
+        from arah_tpu.ops.pallas.corr_kernel_t import corr_search_pallas_t
+
+        cfg = SkinningConfig(d_hidden=128, n_layers=4)
+        params = init_skinning(jax.random.PRNGKey(0), cfg)
+        wts, bs = [], []
+        for lyr in params['layers']:
+            v = lyr['v']
+            w = lyr['g'] * v / jnp.linalg.norm(v, axis=1, keepdims=True)
+            wts.append(w)
+            bs.append(lyr['b'])
+
+        n = 256
+        x_bar = jnp.asarray(rng.randn(n, 3).astype(np.float32) * 0.3)
+        x0 = x_bar + 0.01 * jnp.asarray(rng.randn(n, 3).astype(np.float32))
+        T0 = jnp.tile(jnp.eye(4, dtype=jnp.float32).reshape(1, 16), (n, 1))
+        mask = jnp.ones((n,), bool)
+        bones16 = jnp.tile(jnp.eye(4, dtype=jnp.float32).reshape(1, 16),
+                           (24, 1))
+        common = (x_bar, x0, T0, mask, tuple(wts), tuple(bs), bones16,
+                  jnp.float32(-1.1), jnp.float32(1.0), jnp.zeros(3))
+        x_f32, _, v_f32 = corr_search_pallas_t(
+            *common, tile=256, max_steps=20, precision='f32')
+        x_b16, _, v_b16 = corr_search_pallas_t(
+            *common, tile=256, max_steps=20, precision='bf16',
+            cvg_thresh=5e-3)
+        # relaxed threshold: bf16 must still converge broadly
+        assert np.asarray(v_b16).mean() > 0.95
+        both = np.asarray(v_f32) & np.asarray(v_b16)
+        assert both.mean() > 0.8
+        d = np.abs(np.asarray(x_b16) - np.asarray(x_f32))[both].max()
+        assert d < 5e-3, d
+
 
 def test_skinning_dense_params_collapse(rng):
     """Dense collapse must reproduce wn_linear layer-by-layer, and reject
