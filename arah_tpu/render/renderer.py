@@ -68,6 +68,12 @@ class ModelConfig(NamedTuple):
     # 128 ms/step, PERF.md round 2b) never touches HBM.
     use_pallas_shade_grad: bool = True
     pallas_shade_grad_tile: int = 256   # sweep: 256 >= 128 > 64 (PERF.md)
+    # implicit-diff correction Jacobian via ONE batched jax.linearize +
+    # 3 tangent passes (plain (N,in)x(in,out) matmul chains) instead of
+    # vmap(jacfwd(per-point)) (awkward (N,3,in) generalized dots on TPU;
+    # same finding as solver/root_find.py:forward_skinning_jac). Values
+    # and param-grads identical to f32 noise; False = old form (A/B).
+    idiff_linearize: bool = True
 
 
 def make_skin_fn(params, cfg: ModelConfig, stop_grad: bool = False):
@@ -164,19 +170,30 @@ def shade_samples(params, cfg: ModelConfig, gen: GeneratedMLP,
     if training and cfg.train_skinning_net:
         skin_fn = make_skin_fn(params, cfg)
 
-        def fwd_from_norm(p_norm):
+        def fwd_batched(p_norm):
             x_hat = unnormalize_canonical_points(
-                p_norm[None], frame.coord_min, frame.coord_max, frame.center)
+                p_norm, frame.coord_min, frame.coord_max, frame.center)
             x_bar, _ = forward_skinning(skin_fn, frame, x_hat)
-            return x_bar[0]
+            return x_bar
 
-        # has_aux returns the skinning primal alongside its Jacobian, so
-        # the net is evaluated once (not once for J + once for f)
-        def fwd_aux(p_norm):
-            x_bar = fwd_from_norm(p_norm)
-            return x_bar, x_bar
-
-        J, f = jax.vmap(jax.jacfwd(fwd_aux, has_aux=True))(flat_p)
+        if cfg.idiff_linearize:
+            # ONE batched linearize: the primal skinning pass runs once
+            # (its param gradients flow through `f` below), and the
+            # Jacobian comes from three batched tangent passes — plain
+            # (N, in) x (in, out) matmul chains, where
+            # vmap(jacfwd(per-point)) lowers to awkward (N, 3, in)
+            # generalized dots on TPU (same finding as
+            # solver/root_find.py:forward_skinning_jac).
+            f, f_lin = jax.linearize(fwd_batched, flat_p)
+            eye3 = jnp.eye(3, dtype=flat_p.dtype)
+            J = jnp.stack([f_lin(jnp.broadcast_to(eye3[k], flat_p.shape))
+                           for k in range(3)], axis=-1)
+        else:
+            # per-point jacfwd form (has_aux shares the primal)
+            def fwd_aux(p_norm):
+                x_bar = fwd_batched(p_norm[None])[0]
+                return x_bar, x_bar
+            J, f = jax.vmap(jax.jacfwd(fwd_aux, has_aux=True))(flat_p)
         J_inv = inv3x3(jax.lax.stop_gradient(J))
         flat_p = flat_p - jnp.einsum(
             'nab,nb->na', J_inv, f - jax.lax.stop_gradient(f))

@@ -53,6 +53,8 @@ def main():
             return cfg._replace(pallas_shade_tile=2048)
         if name == 'no_shade_grad':
             return cfg._replace(use_pallas_shade_grad=False)
+        if name == 'idiff_jacfwd':
+            return cfg._replace(idiff_linearize=False)
         if name.startswith('shade_grad_'):    # shade_grad_<bwd_tile>
             return cfg._replace(
                 pallas_shade_grad_tile=int(name.rsplit('_', 1)[1]))
