@@ -118,6 +118,9 @@ def model_config_from_cfg(cfg: dict, low_vram: bool = False):
         use_pallas_iso=m.get('use_pallas_iso', True),
         # 'f32' (default) | 'split3' (bf16x3; measured slower, PERF.md)
         pallas_precision=m.get('pallas_precision', 'f32'),
+        # coarse-to-fine corr warm start (0 = off, reference semantics)
+        corr_coarse_stride=m.get('corr_coarse_stride', 0),
+        corr_warm_gate=m.get('corr_warm_gate', 0.1),
     )
 
     return ModelConfig(
@@ -130,6 +133,7 @@ def model_config_from_cfg(cfg: dict, low_vram: bool = False):
         pallas_shade_tile=m.get('pallas_shade_tile', 512),
         use_pallas_shade_grad=m.get('use_pallas_shade_grad', True),
         pallas_shade_grad_tile=m.get('pallas_shade_grad_tile', 256),
+        idiff_linearize=m.get('idiff_linearize', True),
     )
 
 

@@ -1,11 +1,16 @@
-"""Fused-kernel dispatch for the renderer's hot functions.
+"""A/B-ONLY fused-kernel dispatch for the point-wise SDF / KNN functions.
 
-On TPU, the no-gradient tracer paths (sphere tracing, Broyden residuals)
-evaluate the generated SIREN and the KNN through Pallas kernels that keep
-weights + activations in VMEM; the kernels carry a `custom_jvp` that
-falls back to the plain XLA implementation, so the few places that take
-input derivatives of these functions (solver init Jacobians) still work.
-Set ARAH_DISABLE_PALLAS=1 to force pure-XLA everywhere.
+These first-cut kernels (standalone SIREN point-eval, tiled KNN) measured
+~7% SLOWER end-to-end than the XLA paths they replace (PERF.md round-1
+finding #4) and were superseded by the fully-fused march/corr/iso/shade
+kernels (`ops/pallas/{march,corr_kernel_t,iso,shade*}_kernel.py`), which
+ARE the shipped defaults via `RayTracerConfig.use_pallas_*` /
+`ModelConfig.use_pallas_shade*`. This module's kernels are therefore
+OPT-IN (`ARAH_ENABLE_PALLAS=1`) and exist only for explicit A/B runs;
+nothing dispatches here in the shipped default configuration. The kernels
+carry a `custom_jvp` that falls back to the plain XLA implementation, so
+the places that take input derivatives (solver init Jacobians) still work
+under A/B.
 """
 from __future__ import annotations
 
@@ -19,9 +24,11 @@ from arah_tpu.nn.siren import GeneratedMLP, siren_apply
 
 
 def pallas_enabled() -> bool:
-    """Opt-in (ARAH_ENABLE_PALLAS=1): the XLA path is the benched default;
-    the fused kernels are kept for explicit A/B runs while the axon
-    remote-compile latency of Mosaic kernels is being characterized."""
+    """Opt-in (ARAH_ENABLE_PALLAS=1): the XLA path is the benched default
+    for THIS module's standalone kernels (measured ~7% slower end-to-end,
+    PERF.md); only explicit A/B runs enable them. The winning fused
+    kernels elsewhere (march/corr/iso/shade) have their own config gates
+    and do not consult this switch."""
     if os.environ.get('ARAH_ENABLE_PALLAS') != '1':
         return False
     return jax.devices()[0].platform == 'tpu'

@@ -83,6 +83,20 @@ class RayTracerConfig(NamedTuple):
     # kernel plus a generated-SIREN handle (sdf_gen) from the renderer.
     use_pallas_march: bool = True
     pallas_march_tile: int = 256
+    # coarse-to-fine warm start for the canonical-correspondence search:
+    # solve every `stride`th sample per ray from the KNN init, then
+    # initialize the remaining samples by interpolating the bracketing
+    # coarse roots along the ray (adjacent volume samples are mm apart,
+    # but the reference — and stride=0 — Broyden-solves every sample
+    # from an independent KNN init, `ray_tracing.py:403-461`). Falls
+    # back to the KNN init where a bracket is unconverged or the two
+    # bracketing roots disagree by > corr_warm_gate meters (a
+    # multi-root/occlusion-boundary signal). Cuts fine-point Broyden
+    # iterations ~2.7x (bench_warmstart.py histogram, PERF.md round 4);
+    # not bit-identical to stride=0 — roots agree on the common valid
+    # set to solver tolerance. 0 = off (exact reference init semantics).
+    corr_coarse_stride: int = 0
+    corr_warm_gate: float = 0.1
     # fused joint (canonical point, depth) iso-surface Broyden kernel
     # (ops/pallas/iso_kernel.py); needs BOTH skin_dense and sdf_gen.
     # Default ON since round 3b: re-measured IN-STEP after the glue pass,
@@ -326,6 +340,102 @@ def sample_z_vals(cfg: RayTracerConfig, key, body_mask: jax.Array,
     return z0, mask
 
 
+def _corr_solve(cfg: RayTracerConfig, skin_fn: Callable,
+                frame: CanonicalFrame, skin_dense, x_bar, x0, T0, mask):
+    """Flat canonical-correspondence solve with Pallas/chunked/dense
+    dispatch. x_bar/x0: (N, 3); T0: (N, 4, 4); mask: (N,).
+    Returns (x_hat (N, 3) metric, T_fwd (N, 4, 4), valid (N,))."""
+    n_total = x_bar.shape[0]
+    if (cfg.use_pallas_corr and skin_dense is not None
+            and _pallas_ok()
+            and n_total % cfg.pallas_corr_tile == 0):
+        from arah_tpu.ops.pallas.corr_kernel_t import corr_search_pallas_t
+        wts, bs, softmax_scale = skin_dense
+        x_hat, T16, valid = corr_search_pallas_t(
+            x_bar, x0, T0.reshape(n_total, 16), mask, list(wts),
+            list(bs), frame.bone_transforms.reshape(24, 16),
+            frame.coord_min, frame.coord_max, frame.center,
+            tile=cfg.pallas_corr_tile, max_steps=cfg.corr_max_steps,
+            cvg_thresh=cfg.root_finding_threshold,
+            softmax_scale=softmax_scale,
+            precision=cfg.pallas_precision)
+        return x_hat, T16.reshape(n_total, 4, 4), valid & mask
+
+    def solve(args):
+        xb, xi, ti, m = args
+        return search_canonical_corr(
+            skin_fn, frame, xb, xi, ti, max_steps=cfg.corr_max_steps,
+            cvg_thresh=cfg.root_finding_threshold, active_init=m)
+
+    # chunked solve in train mode too: +3% step time (15.5k -> 15.9k
+    # rays/s on v5e) at a ~37 s warm compile; the solver runs under
+    # stop_gradient so the lax.map/while never sits on the reverse path
+    if cfg.corr_chunk > 0 \
+            and n_total % cfg.corr_chunk == 0 \
+            and n_total > cfg.corr_chunk:
+        nc = n_total // cfg.corr_chunk
+        reshape = lambda a: a.reshape((nc, cfg.corr_chunk) + a.shape[1:])
+        corr = jax.lax.map(
+            solve, (reshape(x_bar), reshape(x0), reshape(T0),
+                    reshape(mask)))
+        corr = jax.tree.map(
+            lambda a: a.reshape((n_total,) + a.shape[2:])
+            if a.ndim >= 2 else a, corr)
+    else:
+        corr = solve((x_bar, x0, T0, mask))
+    return corr.x_hat, corr.T_fwd, corr.valid & mask
+
+
+def _warm_start_inits(cfg: RayTracerConfig, z_vals, x_hat_c, T_c, valid_c,
+                      x0_f, T0_f):
+    """Fine-sample warm-start inits from bracketing coarse roots.
+
+    z_vals: (n, Sc, C) sample depths; x_hat_c/T_c/valid_c: (n, Sc, ...)
+    coarse solve results; x0_f/T0_f: (n, Sc, C-1, ...) KNN fallbacks.
+    Returns (x_init, T_init) for the fine slots r = 1..C-1 of each
+    coarse block. The interpolation is linear in depth between the two
+    bracketing coarse roots; a bracket is usable only when both sides
+    converged AND agree within corr_warm_gate (else: one-sided copy
+    where a single side converged, KNN fallback otherwise).
+    """
+    # shifted (next-block) coarse arrays, edge-clamped
+    x_hi = jnp.concatenate([x_hat_c[:, 1:], x_hat_c[:, -1:]], axis=1)
+    T_hi = jnp.concatenate([T_c[:, 1:], T_c[:, -1:]], axis=1)
+    valid_hi = jnp.concatenate([valid_c[:, 1:], valid_c[:, -1:]], axis=1)
+    z_lo = z_vals[:, :, 0]                                     # (n, Sc)
+    z_hi = jnp.concatenate([z_lo[:, 1:], z_lo[:, -1:]], axis=1)
+
+    z_f = z_vals[:, :, 1:]                                     # (n, Sc, C-1)
+    a = jnp.clip((z_f - z_lo[..., None])
+                 / jnp.maximum(z_hi - z_lo, 1e-8)[..., None], 0.0, 1.0)
+
+    dist = jnp.linalg.norm(x_hi - x_hat_c, axis=-1)            # (n, Sc)
+    both = (valid_c & valid_hi & (dist < cfg.corr_warm_gate))[..., None]
+    lo_only = (valid_c & ~valid_hi)[..., None]
+    hi_only = (valid_hi & ~valid_c)[..., None]
+
+    x_lo_b = x_hat_c[:, :, None, :]                        # (n, Sc, 1, 3)
+    x_hi_b = x_hi[:, :, None, :]
+    x_interp = (1.0 - a[..., None]) * x_lo_b + a[..., None] * x_hi_b
+    x_init = jnp.where(
+        both[..., None], x_interp,
+        jnp.where(lo_only[..., None], jnp.broadcast_to(x_lo_b, x0_f.shape),
+                  jnp.where(hi_only[..., None],
+                            jnp.broadcast_to(x_hi_b, x0_f.shape), x0_f)))
+
+    near_hi = (a > 0.5)[..., None, None]                   # (n, Sc, C-1,1,1)
+    T_lo_b = jnp.broadcast_to(T_c[:, :, None], T0_f.shape)
+    T_hi_b = jnp.broadcast_to(T_hi[:, :, None], T0_f.shape)
+    T_near = jnp.where(near_hi, T_hi_b, T_lo_b)
+    b4 = both[..., None, None]
+    lo4 = lo_only[..., None, None]
+    hi4 = hi_only[..., None, None]
+    T_init = jnp.where(b4, T_near,
+                       jnp.where(lo4, T_lo_b,
+                                 jnp.where(hi4, T_hi_b, T0_f)))
+    return x_init, T_init
+
+
 def canonicalize_samples(cfg: RayTracerConfig, sdf_fn: Callable,
                          skin_fn: Callable, frame: CanonicalFrame,
                          smpl: SmplRef, cam_loc: jax.Array,
@@ -338,6 +448,10 @@ def canonicalize_samples(cfg: RayTracerConfig, sdf_fn: Callable,
     (nearest posed SMPL vert's skinning weights) then Broyden canonical
     correspondence search; masked samples are frozen and report
     converge=False.
+
+    With cfg.corr_coarse_stride = C > 1, runs coarse-to-fine: every Cth
+    sample solves from the KNN init, the rest warm-start from the
+    bracketing coarse roots (see RayTracerConfig).
 
     skin_dense: optional ((weights...), (biases...), softmax_scale) of the
     collapsed skinning MLP — enables the fused Pallas corr kernel on TPU.
@@ -354,51 +468,43 @@ def canonicalize_samples(cfg: RayTracerConfig, sdf_fn: Callable,
     x_bar = pts_world - frame.trans
     x0 = jnp.einsum('nab,nb->na', T0_inv[:, :3, :3], x_bar) + T0_inv[:, :3, 3]
 
-    def solve(args):
-        xb, xi, ti, m = args
-        return search_canonical_corr(
-            skin_fn, frame, xb, xi, ti, max_steps=cfg.corr_max_steps,
-            cvg_thresh=cfg.root_finding_threshold, active_init=m)
+    C = cfg.corr_coarse_stride
+    if C > 1 and S % C == 0 and S > C:
+        Sc = S // C
+        blk = lambda arr: arr.reshape((n, Sc, C) + arr.shape[1:])
+        xb_b, x0_b, T0_b = blk(x_bar), blk(x0), blk(T0)
+        m_b = blk(flat_mask)
+        flat_c = lambda arr: arr[:, :, 0].reshape((n * Sc,) + arr.shape[3:])
 
-    n_total = x_bar.shape[0]
-    if (cfg.use_pallas_corr and skin_dense is not None
-            and _pallas_ok()
-            and n_total % cfg.pallas_corr_tile == 0):
-        from arah_tpu.ops.pallas.corr_kernel_t import corr_search_pallas_t
-        wts, bs, softmax_scale = skin_dense
-        x_hat, T16, valid = corr_search_pallas_t(
-            x_bar, x0, T0.reshape(n_total, 16), flat_mask, list(wts),
-            list(bs), frame.bone_transforms.reshape(24, 16),
-            frame.coord_min, frame.coord_max, frame.center,
-            tile=cfg.pallas_corr_tile, max_steps=cfg.corr_max_steps,
-            cvg_thresh=cfg.root_finding_threshold,
-            softmax_scale=softmax_scale,
-            precision=cfg.pallas_precision)
-        T_fwd = T16.reshape(n_total, 4, 4)
-        x_norm = normalize_canonical_points(
-            x_hat, frame.coord_min, frame.coord_max, frame.center)
-        return (x_norm.reshape(n, S, 3),
-                T_fwd.reshape(n, S, 4, 4),
-                (valid & flat_mask).reshape(n, S))
+        # phase 1: coarse samples (slot 0 of each block), KNN init
+        xc, Tc, vc = _corr_solve(cfg, skin_fn, frame, skin_dense,
+                                 flat_c(xb_b), flat_c(x0_b), flat_c(T0_b),
+                                 flat_c(m_b))
+        xc = xc.reshape(n, Sc, 3)
+        Tc = Tc.reshape(n, Sc, 4, 4)
+        vc = vc.reshape(n, Sc)
 
-    # chunked solve in train mode too: +3% step time (15.5k -> 15.9k
-    # rays/s on v5e) at a ~37 s warm compile; the solver runs under
-    # stop_gradient so the lax.map/while never sits on the reverse path
-    if cfg.corr_chunk > 0 \
-            and n_total % cfg.corr_chunk == 0 \
-            and n_total > cfg.corr_chunk:
-        nc = n_total // cfg.corr_chunk
-        reshape = lambda a: a.reshape((nc, cfg.corr_chunk) + a.shape[1:])
-        corr = jax.lax.map(
-            solve, (reshape(x_bar), reshape(x0), reshape(T0),
-                    reshape(flat_mask)))
-        corr = jax.tree.map(
-            lambda a: a.reshape((n_total,) + a.shape[2:])
-            if a.ndim >= 2 else a, corr)
-        x_hat, T_fwd, valid = corr.x_hat, corr.T_fwd, corr.valid
+        # phase 2: remaining samples, warm-started
+        x_init, T_init = _warm_start_inits(
+            cfg, z_vals.reshape(n, Sc, C), xc, Tc, vc,
+            x0_b[:, :, 1:], T0_b[:, :, 1:])
+        nf = n * Sc * (C - 1)
+        xf, Tf, vf = _corr_solve(
+            cfg, skin_fn, frame, skin_dense,
+            xb_b[:, :, 1:].reshape(nf, 3), x_init.reshape(nf, 3),
+            T_init.reshape(nf, 4, 4), m_b[:, :, 1:].reshape(nf))
+
+        x_hat = jnp.concatenate(
+            [xc[:, :, None], xf.reshape(n, Sc, C - 1, 3)],
+            axis=2).reshape(-1, 3)
+        T_fwd = jnp.concatenate(
+            [Tc[:, :, None], Tf.reshape(n, Sc, C - 1, 4, 4)],
+            axis=2).reshape(-1, 4, 4)
+        valid = jnp.concatenate(
+            [vc[:, :, None], vf.reshape(n, Sc, C - 1)], axis=2).reshape(-1)
     else:
-        corr = solve((x_bar, x0, T0, flat_mask))
-        x_hat, T_fwd, valid = corr.x_hat, corr.T_fwd, corr.valid
+        x_hat, T_fwd, valid = _corr_solve(cfg, skin_fn, frame, skin_dense,
+                                          x_bar, x0, T0, flat_mask)
 
     x_norm = normalize_canonical_points(
         x_hat, frame.coord_min, frame.coord_max, frame.center)

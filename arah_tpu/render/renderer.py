@@ -86,9 +86,12 @@ def make_skin_fn(params, cfg: ModelConfig, stop_grad: bool = False):
 def make_sdf_fn(gen: GeneratedMLP, stop_grad: bool = False):
     """Normalized canonical points (N, 3) -> (N,) normalized SDF.
 
-    The stop-gradient variant (tracer hot loops) dispatches to the fused
-    Pallas kernel on TPU (input-derivatives fall back to XLA via
-    custom_jvp, see ops/fused.py)."""
+    Default: plain XLA `siren_apply` in both variants — the tracer's hot
+    loops get their fused kernels via `RayTracerConfig.use_pallas_*`
+    inside `trace_and_sample`, not here. Only under the A/B-only
+    `ARAH_ENABLE_PALLAS=1` switch does the stop-gradient variant dispatch
+    to the standalone point-eval kernel (measured slower end-to-end;
+    see ops/fused.py docstring)."""
     g = jax.lax.stop_gradient(gen) if stop_grad else gen
     if stop_grad:
         from arah_tpu.ops.fused import make_fused_sdf_fn, pallas_enabled
@@ -184,6 +187,13 @@ def shade_samples(params, cfg: ModelConfig, gen: GeneratedMLP,
             # vmap(jacfwd(per-point)) lowers to awkward (N, 3, in)
             # generalized dots on TPU (same finding as
             # solver/root_find.py:forward_skinning_jac).
+            # PRECONDITION: fwd_batched must be strictly pointwise across
+            # the batch axis (point k's output depends only on point k's
+            # input) — then the batched tangent with e_k broadcast to
+            # every row recovers column k of each per-point Jacobian.
+            # Any future batch-coupled op in skinning_weights /
+            # forward_skinning breaks this; tests/test_renderer.py pins
+            # both branches equal (TestIdiffLinearize).
             f, f_lin = jax.linearize(fwd_batched, flat_p)
             eye3 = jnp.eye(3, dtype=flat_p.dtype)
             J = jnp.stack([f_lin(jnp.broadcast_to(eye3[k], flat_p.shape))

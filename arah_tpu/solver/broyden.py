@@ -25,14 +25,18 @@ class BroydenResult(NamedTuple):
     aux: jax.Array        # aux output of g at best x (e.g. (N, 4, 4) tfs)
     diff: jax.Array       # (N,) best |g|
     valid: jax.Array      # (N,) bool, |g| < cvg_thresh
-    steps: jax.Array      # () int32, iterations executed
+    steps: jax.Array      # () int32 iterations executed; with
+    #                       track_point_iters: (N,) int32 per-point
+    #                       iteration of first convergence (max_steps if
+    #                       never converged — diagnostics only)
 
 
 def broyden(g: Callable, x_init: jax.Array, aux_init: jax.Array,
             J_inv_init: jax.Array, max_steps: int = 50,
             cvg_thresh: float = 1e-5, dvg_thresh: float = 1.0,
             eps: float = 1e-6,
-            active_init: jax.Array | None = None) -> BroydenResult:
+            active_init: jax.Array | None = None,
+            track_point_iters: bool = False) -> BroydenResult:
     """Find roots of g(x) = 0 for a batch of independent points.
 
     Args:
@@ -41,6 +45,9 @@ def broyden(g: Callable, x_init: jax.Array, aux_init: jax.Array,
       x_init: (N, D); aux_init: (N, ...); J_inv_init: (N, D, D).
       active_init: optional (N,) bool; points that are False never iterate,
         keep their init values, and report valid=False.
+      track_point_iters: diagnostics (bench_warmstart.py): `steps` becomes
+        the (N,) per-point iteration at which |g| first crossed
+        cvg_thresh (values are unchanged; one extra int32 carry).
     """
     N, D = x_init.shape
     x = x_init
@@ -61,12 +68,15 @@ def broyden(g: Callable, x_init: jax.Array, aux_init: jax.Array,
         aux_opt: jax.Array
         gx_norm_opt: jax.Array
         active: jax.Array
+        cvg_iter: jax.Array
 
     # best-so-far aux starts at aux_init (the reference discards the aux of
     # the pre-loop g evaluation, broyden.py:35,39)
     del aux
+    cvg_iter0 = jnp.where(gx_norm < cvg_thresh, 0, max_steps).astype(
+        jnp.int32) if track_point_iters else jnp.zeros((), jnp.int32)
     st = State(jnp.zeros((), jnp.int32), x, gx, J_inv, update,
-               x, aux_init, gx_norm, mask0)
+               x, aux_init, gx_norm, mask0, cvg_iter0)
 
     def cond(st: State):
         return (st.i < max_steps) & jnp.any(st.active)
@@ -89,6 +99,11 @@ def broyden(g: Callable, x_init: jax.Array, aux_init: jax.Array,
         gx_norm_opt = jnp.where(ids_opt, gx_norm, st.gx_norm_opt)
 
         active = (gx_norm_opt > cvg_thresh) & (gx_norm < dvg_thresh) & m
+        if track_point_iters:
+            newly = (st.cvg_iter >= max_steps) & (gx_norm_opt <= cvg_thresh)
+            cvg_iter = jnp.where(newly, st.i + 1, st.cvg_iter)
+        else:
+            cvg_iter = st.cvg_iter
 
         # rank-1 inverse-Jacobian update (good Broyden)
         vT = jnp.einsum('ni,nij->nj', delta_x, st.J_inv)          # (N, D)
@@ -101,7 +116,7 @@ def broyden(g: Callable, x_init: jax.Array, aux_init: jax.Array,
         update = -jnp.einsum('nij,nj->ni', J_inv, gx)
 
         return State(st.i + 1, x, gx, J_inv, update,
-                     x_opt, aux_opt, gx_norm_opt, active)
+                     x_opt, aux_opt, gx_norm_opt, active, cvg_iter)
 
     st = jax.lax.while_loop(cond, body, st)
 
@@ -109,4 +124,5 @@ def broyden(g: Callable, x_init: jax.Array, aux_init: jax.Array,
     x_opt = jnp.where(mask0[:, None], st.x_opt, x_init)
     aux_opt = jnp.where(mask0.reshape((N,) + (1,) * (st.aux_opt.ndim - 1)),
                         st.aux_opt, aux_init)
-    return BroydenResult(x_opt, aux_opt, st.gx_norm_opt, valid, st.i)
+    steps = st.cvg_iter if track_point_iters else st.i
+    return BroydenResult(x_opt, aux_opt, st.gx_norm_opt, valid, steps)

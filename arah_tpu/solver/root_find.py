@@ -94,9 +94,14 @@ def search_canonical_corr(skin_fn: Callable, frame: CanonicalFrame,
                           x_bar: jax.Array, x_hat_0: jax.Array,
                           T_fwd_0: jax.Array,
                           max_steps: int = 50, cvg_thresh: float = 1e-5,
-                          active_init: jax.Array | None = None) -> CorrResult:
+                          active_init: jax.Array | None = None,
+                          track_point_iters: bool = False) -> CorrResult:
     """Find x_hat with fwd_skin(x_hat) == x_bar (both in metric space,
-    x_bar already has global translation removed)."""
+    x_bar already has global translation removed).
+
+    track_point_iters: diagnostics only (bench_warmstart.py) — returns
+    the raw BroydenResult (with per-point convergence iterations in
+    `.steps`) instead of a CorrResult."""
 
     def g(x):
         x_bar_opt, T = forward_skinning(skin_fn, frame, x)
@@ -110,7 +115,10 @@ def search_canonical_corr(skin_fn: Callable, frame: CanonicalFrame,
     J_inv_0 = inv3x3(J0)
 
     res = broyden(g, x_hat_0, T_fwd_0, J_inv_0, max_steps=max_steps,
-                  cvg_thresh=cvg_thresh, active_init=active_init)
+                  cvg_thresh=cvg_thresh, active_init=active_init,
+                  track_point_iters=track_point_iters)
+    if track_point_iters:
+        return res
     return CorrResult(res.x, res.aux, res.valid, res.diff)
 
 

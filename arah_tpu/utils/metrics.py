@@ -8,6 +8,16 @@ Re-design of reference `im2mesh/utils/eval.py:6-30`:
   * LPIPS via the JAX VGG16 port in utils/lpips_jax.py (weights must be
     converted from the torchvision/lpips checkpoints; a calibrated
     multi-scale SSIM fallback is used when they're absent).
+
+SSIM data_range protocol: the reference calls skimage with no
+`data_range` on float images (`im2mesh/utils/eval.py:17`); skimage then
+uses the float dtype range (-1, 1) => **data_range = 2.0**, even though
+the images live in [0, 1]. That inflates C1/C2 by 4x/16x relative to the
+"correct" data_range=1.0, raising reported SSIM. To be comparable with
+the reference's published protocol, `ssim_metric` reproduces the skimage
+float default (2.0). Pass `data_range=1.0` explicitly for the
+physically-correct [0,1] convention. Golden tests:
+tests/test_metrics.py (independent sliding-window oracle).
 """
 from __future__ import annotations
 
@@ -73,9 +83,15 @@ def mask_bbox(mask: np.ndarray):
             int(xs.max() - xs.min() + 1), int(ys.max() - ys.min() + 1))
 
 
-def ssim_metric(img_pred, img_gt, mask_at_box) -> float:
+def ssim_metric(img_pred, img_gt, mask_at_box,
+                data_range: float = 2.0) -> float:
+    """Reference-protocol SSIM on the mask bounding-box crop.
+
+    data_range defaults to 2.0 = skimage's float-dtype default that the
+    reference's numbers were computed with (see module docstring)."""
     x, y, w, h = mask_bbox(np.asarray(mask_at_box).astype(bool))
-    return ssim(img_pred[y:y + h, x:x + w], img_gt[y:y + h, x:x + w])
+    return ssim(img_pred[y:y + h, x:x + w], img_gt[y:y + h, x:x + w],
+                data_range=data_range)
 
 
 def lpips_metric(img_pred, img_gt, mask_at_box, lpips_fn=None) -> float:

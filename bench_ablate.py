@@ -55,6 +55,9 @@ def main():
             return cfg._replace(use_pallas_shade_grad=False)
         if name == 'idiff_jacfwd':
             return cfg._replace(idiff_linearize=False)
+        if name.startswith('warm'):           # warm<stride>
+            return cfg._replace(tracer=cfg.tracer._replace(
+                corr_coarse_stride=int(name[4:])))
         if name.startswith('shade_grad_'):    # shade_grad_<bwd_tile>
             return cfg._replace(
                 pallas_shade_grad_tile=int(name.rsplit('_', 1)[1]))

@@ -167,6 +167,67 @@ class TestRenderTrain:
         assert skin_norm > 0
 
 
+class TestCorrWarmStart:
+    def test_warm_start_matches_cold_init(self, rng):
+        """Coarse-to-fine corr warm start (corr_coarse_stride=4) must
+        agree with the per-sample KNN-init reference semantics: identical
+        body mask, rgb to solver tolerance, and no net loss of converged
+        samples (warm inits typically rescue a few points the KNN init
+        fails on)."""
+        cfg = small_config()
+        params, fd, inp, _ = make_inputs(cfg, rng, n_rays=64)
+        key = jax.random.PRNGKey(1)
+        cfg_w = cfg._replace(tracer=cfg.tracer._replace(
+            corr_coarse_stride=4))
+        out0 = jax.jit(lambda p, i: render(p, cfg, i, key,
+                                           training=False))(params, inp)
+        outw = jax.jit(lambda p, i: render(p, cfg_w, i, key,
+                                           training=False))(params, inp)
+        np.testing.assert_array_equal(
+            np.asarray(out0['network_body_mask']),
+            np.asarray(outw['network_body_mask']))
+        np.testing.assert_allclose(np.asarray(out0['rgb_values']),
+                                   np.asarray(outw['rgb_values']),
+                                   atol=1e-4)
+        v0 = int(out0['n_samples_valid'])
+        vw = int(outw['n_samples_valid'])
+        assert vw >= v0 - max(2, v0 // 100), (v0, vw)
+
+
+class TestIdiffLinearize:
+    def test_linearize_matches_per_point_jacfwd(self, rng):
+        """The batched-linearize implicit-diff Jacobian (renderer.py,
+        idiff_linearize=True) equals vmap(jacfwd) ONLY because the
+        forward-skinning map is strictly pointwise across the batch —
+        pin values AND parameter gradients of the two branches equal so
+        any future batch-coupled op in the skinning path fails loudly
+        (ADVICE r3)."""
+        cfg = small_config(train_skinning=True)
+        params, fd, inp, _ = make_inputs(cfg, rng, n_rays=16, training=True)
+
+        def loss_fn(p, c):
+            out = render(p, c, inp, jax.random.PRNGKey(2), training=True)
+            return (jnp.sum(out['rgb_values'] ** 2)
+                    + jnp.sum(out['weights_sum']))
+
+        cfg_lin = cfg._replace(idiff_linearize=True)
+        cfg_jac = cfg._replace(idiff_linearize=False)
+        ll, gl = jax.jit(jax.value_and_grad(loss_fn),
+                         static_argnums=1)(params, cfg_lin)
+        lj, gj = jax.jit(jax.value_and_grad(loss_fn),
+                         static_argnums=1)(params, cfg_jac)
+        np.testing.assert_allclose(float(ll), float(lj), rtol=1e-6)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+            gl, gj)
+        # the branch must actually exercise the correction: skinning-net
+        # grads are nonzero under train_skinning_net
+        skin_norm = sum(float(jnp.linalg.norm(v))
+                        for v in jax.tree.leaves(gl['skinning']))
+        assert skin_norm > 0
+
+
 class TestIsoTrainModeMask:
     def test_train_mode_refines_all_rays_eval_skips_diverged(self, rng):
         """Pin the iso-refinement active mask to the reference's
