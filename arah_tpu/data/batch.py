@@ -106,19 +106,34 @@ def sample_noise(rng: np.random.RandomState, n_blocks: int,
 
 def synthetic_train_batch(key, fd: FrameData, n_blocks: int = 2,
                           n_rays: int = 256, n_reg: int = 64,
-                          latent_idx: int = 0) -> TrainBatch:
-    """Random-but-valid training batch on a prepared frame (tests/bench)."""
+                          latent_idx: int = 0,
+                          fds: list | None = None) -> TrainBatch:
+    """Random-but-valid training batch on a prepared frame (tests/bench).
+
+    fds: optional list of n_blocks FrameData — builds a PER-BLOCK-FRAME
+    batch (frame leaves stacked on the leading dim, per-block latent
+    indices 0..B-1) for `make_train_step(per_block_frame=True)`."""
     ks = jax.random.split(key, 8)
+    if fds is not None:
+        assert len(fds) == n_blocks, (len(fds), n_blocks)
+        fd = fds[0]
     V = fd.smpl.verts_posed.shape[0]
     cam_base = jnp.asarray([0.0, 0.3, -2.5])
     cam_off = jax.random.normal(ks[0], (n_blocks, 3)) * 0.3
     cam_loc = cam_base + cam_off
 
     tgt = jax.random.randint(ks[1], (n_blocks, n_rays), 0, V)
-    targets = fd.smpl.verts_posed[tgt]                     # (B, R, 3)
+    if fds is not None:
+        targets = jnp.stack([f.smpl.verts_posed[tgt[b]]
+                             for b, f in enumerate(fds)])    # (B, R, 3)
+        bmin = jnp.stack([f.bounds_min for f in fds])[:, None, :]
+        bmax = jnp.stack([f.bounds_max for f in fds])[:, None, :]
+    else:
+        targets = fd.smpl.verts_posed[tgt]                   # (B, R, 3)
+        bmin, bmax = fd.bounds_min, fd.bounds_max
     dirs = targets - cam_loc[:, None, :]
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-    near, far, hit = ray_aabb(fd.bounds_min, fd.bounds_max,
+    near, far, hit = ray_aabb(bmin, bmax,
                               jnp.broadcast_to(cam_loc[:, None, :],
                                                dirs.shape), dirs)
     rgb_gt = jax.random.uniform(ks[2], (n_blocks, n_rays, 3))
@@ -130,10 +145,15 @@ def synthetic_train_batch(key, fd: FrameData, n_blocks: int = 2,
     sw = jax.nn.softmax(jax.random.normal(ks[6], (n_blocks, n_reg, 24)),
                         axis=-1)
 
+    if fds is not None:
+        frame = jax.tree.map(lambda *xs: jnp.stack(xs), *fds)
+        lat = jnp.arange(n_blocks, dtype=jnp.int32)
+    else:
+        frame, lat = fd, jnp.int32(latent_idx)
     return TrainBatch(
         cam_loc=cam_loc, ray_dirs=dirs, near=near, far=far,
         rgb_gt=rgb_gt, body_mask=body_mask,
         points_uniform=pu, points_skinning=psk, points_inside=pin,
         sampled_weights=sw, **identity_noise(n_blocks),
         uv=dirs, cam_idx=jnp.arange(n_blocks, dtype=jnp.int32),
-        frame=fd, latent_idx=jnp.int32(latent_idx))
+        frame=frame, latent_idx=lat)

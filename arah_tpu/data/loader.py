@@ -80,15 +80,31 @@ def batch_to_device(batch):
 
 
 def collate_train_batch_np(items: Sequence[dict],
-                           noise: dict | None = None) -> TrainBatch:
-    """Stack per-view items (same frame) into a numpy TrainBatch
-    (worker-thread safe)."""
+                           noise: dict | None = None,
+                           per_block_frame: bool = False) -> TrainBatch:
+    """Stack per-view items into a numpy TrainBatch (worker-thread safe).
+
+    per_block_frame=False (reference semantics): all items are views of
+    the SAME frame; frame state comes from items[0] and is replicated.
+    per_block_frame=True: each item may be a different frame — frame
+    leaves and latent_idx are stacked per block (for
+    `make_train_step(per_block_frame=True)`)."""
     B = len(items)
 
     def stack(key):
         return np.stack([np.asarray(it[key]) for it in items])
 
-    fd = frame_from_item_np(items[0])
+    if per_block_frame:
+        fds = [frame_from_item_np(it) for it in items]
+        # jax.tree.map on numpy leaves is pure Python tree surgery — no
+        # device dispatch, so the worker-thread numpy-only contract holds
+        import jax
+        fd = jax.tree.map(lambda *xs: np.stack(xs), *fds)
+        latent_idx = np.asarray(
+            [int(it['inputs.data_idx']) for it in items], np.int32)
+    else:
+        fd = frame_from_item_np(items[0])
+        latent_idx = np.int32(items[0]['inputs.data_idx'])
     bounds = stack('inputs.body_bounds_intersections')
     n = noise if noise is not None else identity_noise_np(B)
     pixels = stack('inputs')
@@ -114,7 +130,7 @@ def collate_train_batch_np(items: Sequence[dict],
         cam_idx=np.array([int(it['inputs.cam_idx']) for it in items],
                          np.int32),
         frame=fd,
-        latent_idx=np.int32(items[0]['inputs.data_idx']))
+        latent_idx=latent_idx)
 
 
 def collate_train_batch(items: Sequence[dict],
@@ -179,6 +195,45 @@ class FrameBatchSampler:
             if len(idxs) % m:
                 n = -(-len(idxs) // m) * m
                 idxs = [idxs[k % len(idxs)] for k in range(n)]
+            yield idxs
+
+
+class MultiFrameBatchSampler:
+    """Independent (frame, view) draws per step — the per-block-frame
+    mode's sampler (lifts the reference's one-frame-per-step restriction;
+    see TrainBatch docstring).
+
+    Each step yields `batch_size` item indices drawn uniformly WITHOUT
+    replacement from a shuffled epoch permutation of all items (wrapping
+    within the epoch if batch_size > remaining), so every (frame, view)
+    item is visited ~once per epoch like the frame sampler. Multi-process:
+    rank-disjoint strided slices of the same shared-seed permutation —
+    each process contributes `batch_size` local blocks to the global
+    sharded batch, all ranks step the same count per epoch."""
+
+    def __init__(self, dataset, batch_size: int, shuffle=True, seed=0,
+                 shard_id: int = 0, num_shards: int = 1):
+        self.dataset = dataset
+        self.batch_size = max(1, batch_size)
+        self.shuffle = shuffle
+        self.rng = np.random.RandomState(seed)
+        self.shard_id = shard_id
+        self.num_shards = max(1, num_shards)
+        self.n_items = len(dataset.data)
+
+    def __len__(self):
+        local = len(range(self.shard_id, self.n_items, self.num_shards))
+        return max(1, local // self.batch_size)
+
+    def __iter__(self):
+        order = np.arange(self.n_items)
+        if self.shuffle:
+            self.rng.shuffle(order)
+        local = order[self.shard_id::self.num_shards]
+        n_steps = len(self)
+        for s in range(n_steps):
+            idxs = [int(local[(s * self.batch_size + k) % len(local)])
+                    for k in range(self.batch_size)]
             yield idxs
 
 

@@ -115,6 +115,7 @@ def _make_kernel(n_layers, max_steps, cvg_thresh, dvg_thresh, eps,
         xout_ref = refs[2 * n_layers + 2]
         tout_ref = refs[2 * n_layers + 3]
         valid_ref = refs[2 * n_layers + 4]
+        active_ref = refs[2 * n_layers + 5]
 
         coord_min = frame_ref[0, 0]
         coord_max = frame_ref[0, 1]
@@ -253,6 +254,9 @@ def _make_kernel(n_layers, max_steps, cvg_thresh, dvg_thresh, eps,
         xout_ref[:] = jnp.where(mask0, x_opt, x0_ref[:])
         tout_ref[:] = jnp.where(mask0, t_opt, t0_ref[:])
         valid_ref[:] = valid.astype(jnp.float32)
+        # still-active at loop exit (neither converged nor diverge-frozen)
+        # — the straggler set a phase-2 resolve re-solves
+        active_ref[:] = st[38:39]
 
     return kernel
 
@@ -293,7 +297,9 @@ def corr_search_pallas_t(x_bar, x0, T0_16, mask, skin_weights, skin_biases,
         passes + casts add latency. Closes ROADMAP item 3 (bf16
         solver) without the relaxed-threshold semantics change. Kept
         as options for future matmul-bound kernels.
-    Returns (x_hat (N, 3), T16 (N, 16), valid (N,)).
+    Returns (x_hat (N, 3), T16 (N, 16), valid (N,), active (N,))
+    — `active` marks points still iterating at max_steps
+    (straggler-resolve input, ray_tracing._corr_solve_split).
     """
     if interpret is None:
         interpret = not _on_tpu()
@@ -338,16 +344,19 @@ def corr_search_pallas_t(x_bar, x0, T0_16, mask, skin_weights, skin_biases,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((3, n), jnp.float32),
             jax.ShapeDtypeStruct((16, n), jnp.float32),
             jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
         ),
         interpret=interpret,
     )(*operands)
-    x_hat_t, T16_t, valid = out
-    return x_hat_t.T, T16_t.T, valid[0] > 0.5
+    x_hat_t, T16_t, valid, active = out
+    return x_hat_t.T, T16_t.T, valid[0] > 0.5, active[0] > 0.5
 
 
 def skinning_dense_params(params, cfg):

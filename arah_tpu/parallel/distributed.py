@@ -59,18 +59,22 @@ def replicate_over_mesh(tree, mesh):
     return jax.tree.map(put, tree)
 
 
-def make_global_batch(mesh, batch, axis: str = 'data'):
+def make_global_batch(mesh, batch, axis: str = 'data',
+                      per_block_frame: bool = False):
     """Per-process local numpy TrainBatch -> globally-sharded device batch.
 
     Per-block fields are sharded over `axis` (each process contributes the
     blocks for its own devices — the multi-host analog of DDP's per-rank
     batch, `/root/reference/train.py:124-133`); frame-level state and the
     latent index are replicated (identical on every process because the
-    frame sampler iterates the same frame order with a shared seed)."""
+    frame sampler iterates the same frame order with a shared seed) —
+    unless per_block_frame, where frame leaves and latent_idx shard with
+    the blocks (one frame per block, see TrainBatch docstring)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
     from arah_tpu.parallel.train_step import N_PER_BLOCK_FIELDS
     shard = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
+    fshard = shard if per_block_frame else rep
 
     def put(x, sharding):
         return jax.make_array_from_process_local_data(
@@ -78,9 +82,9 @@ def make_global_batch(mesh, batch, axis: str = 'data'):
 
     per_block = {f: put(getattr(batch, f), shard)
                  for f in batch._fields[:N_PER_BLOCK_FIELDS]}
-    frame = jax.tree.map(lambda x: put(x, rep), batch.frame)
+    frame = jax.tree.map(lambda x: put(x, fshard), batch.frame)
     return batch._replace(**per_block, frame=frame,
-                          latent_idx=put(batch.latent_idx, rep))
+                          latent_idx=put(batch.latent_idx, fshard))
 
 
 def gather_metrics(local_metrics: dict, mesh, axis: str = 'data'):

@@ -30,7 +30,14 @@ from arah_tpu.train.loss import LossWeights, compute_loss
 
 class TrainBatch(NamedTuple):
     """One optimization step's data. Leading dim B = ray blocks (sharded);
-    frame-level fields are replicated."""
+    frame-level fields are replicated — except in per-block-frame mode
+    (`make_train_step(per_block_frame=True)`), where `frame` leaves and
+    `latent_idx` also carry a leading B dim and shard with the blocks.
+    That mode lifts the reference's one-frame-per-step restriction
+    (`ray_tracing.py:129-132` asserts SMPL params shared across the
+    batch): each block may come from a different training frame, giving
+    decorrelated gradients and frames-per-chip scaling (the per-frame
+    hypernet pass already runs per block, so the extra cost is nil)."""
     # per-block (B, ...)
     cam_loc: Any          # (B, 3)
     ray_dirs: Any         # (B, R, 3)
@@ -92,11 +99,15 @@ def _refined_rays(params, batch: TrainBatch, b):
 def _block_loss(params, cfg: ModelConfig, loss_w: LossWeights,
                 batch: TrainBatch, latent, b, key,
                 smpl_model=None, refine_smpl=False, refine_cameras=False,
-                perceptual_fn=None):
+                perceptual_fn=None, per_block_frame=False):
     """Render + loss for one ray block (index b into batch arrays)."""
     fd: FrameData = batch.frame
+    latent_idx = batch.latent_idx
+    if per_block_frame:
+        fd = jax.tree.map(lambda a: a[b], fd)
+        latent_idx = latent_idx[b]
     if refine_smpl and smpl_model is not None:
-        fd = _refined_frame(params, smpl_model, batch.latent_idx)
+        fd = _refined_frame(params, smpl_model, latent_idx)
     cam_loc, ray_dirs = batch.cam_loc[b], batch.ray_dirs[b]
     if refine_cameras:
         cam_loc, ray_dirs = _refined_rays(params, batch, b)
@@ -129,7 +140,8 @@ def make_train_step(cfg: ModelConfig, loss_w: LossWeights, optimizer,
                     mesh: Mesh | None = None, axis: str = 'data',
                     smpl_model=None, refine_smpl: bool = False,
                     refine_cameras: bool = False,
-                    donate: bool = True):
+                    donate: bool = True,
+                    per_block_frame: bool = False):
     """Build the jitted (optionally sharded) train step.
 
     Returns step(state, batch, key) -> (state, metrics). With a mesh, batch
@@ -141,6 +153,11 @@ def make_train_step(cfg: ModelConfig, loss_w: LossWeights, optimizer,
     refine_smpl/refine_cameras enable the differentiable per-frame SMPL /
     camera-extrinsic paths (params['smpl_params']/'betas'/'cam_rots'/
     'cam_trans' must exist).
+    per_block_frame=True: batch.frame leaves and latent_idx carry a
+    leading B dim (one frame per ray block, sharded with the blocks) —
+    see TrainBatch docstring. Build such batches with
+    `collate_train_batch_np(..., per_block_frame=True)` /
+    `synthetic_train_batch(..., fds=[...])`.
     """
     perceptual_fn = None
     if loss_w.perceptual > 0:
@@ -151,15 +168,20 @@ def make_train_step(cfg: ModelConfig, loss_w: LossWeights, optimizer,
         perceptual_fn = make_perceptual_loss()
 
     def loss_fn(params, batch: TrainBatch, key, n_local_blocks):
-        latent = None
-        if 'latent' in params:
-            latent = params['latent'][batch.latent_idx]
+        def block_latent(b):
+            if 'latent' not in params:
+                return None
+            idx = batch.latent_idx[b] if per_block_frame \
+                else batch.latent_idx
+            return params['latent'][idx]
         keys = jax.random.split(key, n_local_blocks)
         losses = [
-            _block_loss(params, cfg, loss_w, batch, latent, b, keys[b],
+            _block_loss(params, cfg, loss_w, batch, block_latent(b), b,
+                        keys[b],
                         smpl_model=smpl_model, refine_smpl=refine_smpl,
                         refine_cameras=refine_cameras,
-                        perceptual_fn=perceptual_fn)
+                        perceptual_fn=perceptual_fn,
+                        per_block_frame=per_block_frame)
             for b in range(n_local_blocks)
         ]
         losses = jax.tree.map(lambda *xs: jnp.mean(jnp.stack(xs)), *losses)
@@ -188,10 +210,11 @@ def make_train_step(cfg: ModelConfig, loss_w: LossWeights, optimizer,
             return TrainState(p, o, s), losses
         return step_fn
 
-    # pytree-prefix specs: per-block leaves sharded on `axis`, frame state
-    # and latent index replicated
+    # pytree-prefix specs: per-block leaves sharded on `axis`; frame state
+    # and latent index replicated — or sharded too in per-block-frame mode
+    fspec = P(axis) if per_block_frame else P()
     block_spec = TrainBatch(*([P(axis)] * N_PER_BLOCK_FIELDS),
-                            frame=P(), latent_idx=P())
+                            frame=fspec, latent_idx=fspec)
 
     def sharded(params, opt_state, step, batch, key):
         n_local = batch.ray_dirs.shape[0]

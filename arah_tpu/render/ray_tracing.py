@@ -97,6 +97,14 @@ class RayTracerConfig(NamedTuple):
     # set to solver tolerance. 0 = off (exact reference init semantics).
     corr_coarse_stride: int = 0
     corr_warm_gate: float = 0.1
+    # straggler-resolve split of the corr solve (value-identical up to
+    # ulp reassociation; see _corr_solve_split): phase 1 caps every tile/chunk at this many
+    # Broyden iterations, then the rare still-active points (measured
+    # ~0.35% past 16 iterations on the flagship bench scene) re-solve
+    # from scratch at corr_max_steps in ONE compacted corr_resolve_cap-
+    # point batch. 0 = single-pass (reference scheduling).
+    corr_phase1_steps: int = 0
+    corr_resolve_cap: int = 4096
     # fused joint (canonical point, depth) iso-surface Broyden kernel
     # (ops/pallas/iso_kernel.py); needs BOTH skin_dense and sdf_gen.
     # Default ON since round 3b: re-measured IN-STEP after the glue pass,
@@ -148,15 +156,13 @@ class MarchCarry(NamedTuple):
     T_fwd: jax.Array         # (N, 4, 4)
 
 
-def _march_xla(cfg: RayTracerConfig, sdf_fn: Callable,
-               frame: CanonicalFrame, smpl: SmplRef, cam_loc, ray_dirs,
-               near, far) -> MarchCarry:
-    """The sphere-trace march loop (XLA while_loop)."""
+def _march_body(cfg: RayTracerConfig, sdf_fn: Callable,
+                frame: CanonicalFrame, smpl: SmplRef, cam_loc, ray_dirs,
+                far):
+    """One sphere-trace iteration as a reusable MarchCarry -> MarchCarry
+    function (shared by the XLA while_loop below and the per-ray
+    iteration calibration in bench_iters.py)."""
     thresh = cfg.root_finding_threshold
-    n = ray_dirs.shape[0]
-    unfinished0 = near < far
-    carry = MarchCarry(near, unfinished0, near >= far,
-                       jnp.zeros((n, 3)), jnp.zeros((n, 4, 4)))
 
     def body(c: MarchCarry):
         pts = cam_loc + c.t[:, None] * ray_dirs
@@ -176,6 +182,19 @@ def _march_xla(cfg: RayTracerConfig, sdf_fn: Callable,
         remove = (c.unfinished & (jnp.abs(sdf) <= thresh)) | diverged
         unfinished = c.unfinished & ~remove
         return MarchCarry(t, unfinished, diverged, x_norm_new, T_new)
+
+    return body
+
+
+def _march_xla(cfg: RayTracerConfig, sdf_fn: Callable,
+               frame: CanonicalFrame, smpl: SmplRef, cam_loc, ray_dirs,
+               near, far) -> MarchCarry:
+    """The sphere-trace march loop (XLA while_loop)."""
+    n = ray_dirs.shape[0]
+    unfinished0 = near < far
+    carry = MarchCarry(near, unfinished0, near >= far,
+                       jnp.zeros((n, 3)), jnp.zeros((n, 4, 4)))
+    body = _march_body(cfg, sdf_fn, frame, smpl, cam_loc, ray_dirs, far)
 
     # early exit once every ray in this block converged/diverged —
     # the loop body is a no-op on finished rays, so this is value-
@@ -341,30 +360,35 @@ def sample_z_vals(cfg: RayTracerConfig, key, body_mask: jax.Array,
 
 
 def _corr_solve(cfg: RayTracerConfig, skin_fn: Callable,
-                frame: CanonicalFrame, skin_dense, x_bar, x0, T0, mask):
+                frame: CanonicalFrame, skin_dense, x_bar, x0, T0, mask,
+                max_steps: int | None = None):
     """Flat canonical-correspondence solve with Pallas/chunked/dense
     dispatch. x_bar/x0: (N, 3); T0: (N, 4, 4); mask: (N,).
-    Returns (x_hat (N, 3) metric, T_fwd (N, 4, 4), valid (N,))."""
+    Returns (x_hat (N, 3) metric, T_fwd (N, 4, 4), valid (N,),
+    active (N,)) — `active` marks points still iterating at max_steps
+    (the straggler-resolve input, `_corr_solve_split`)."""
     n_total = x_bar.shape[0]
+    if max_steps is None:
+        max_steps = cfg.corr_max_steps
     if (cfg.use_pallas_corr and skin_dense is not None
             and _pallas_ok()
             and n_total % cfg.pallas_corr_tile == 0):
         from arah_tpu.ops.pallas.corr_kernel_t import corr_search_pallas_t
         wts, bs, softmax_scale = skin_dense
-        x_hat, T16, valid = corr_search_pallas_t(
+        x_hat, T16, valid, active = corr_search_pallas_t(
             x_bar, x0, T0.reshape(n_total, 16), mask, list(wts),
             list(bs), frame.bone_transforms.reshape(24, 16),
             frame.coord_min, frame.coord_max, frame.center,
-            tile=cfg.pallas_corr_tile, max_steps=cfg.corr_max_steps,
+            tile=cfg.pallas_corr_tile, max_steps=max_steps,
             cvg_thresh=cfg.root_finding_threshold,
             softmax_scale=softmax_scale,
             precision=cfg.pallas_precision)
-        return x_hat, T16.reshape(n_total, 4, 4), valid & mask
+        return x_hat, T16.reshape(n_total, 4, 4), valid & mask, active
 
     def solve(args):
         xb, xi, ti, m = args
         return search_canonical_corr(
-            skin_fn, frame, xb, xi, ti, max_steps=cfg.corr_max_steps,
+            skin_fn, frame, xb, xi, ti, max_steps=max_steps,
             cvg_thresh=cfg.root_finding_threshold, active_init=m)
 
     # chunked solve in train mode too: +3% step time (15.5k -> 15.9k
@@ -383,7 +407,49 @@ def _corr_solve(cfg: RayTracerConfig, skin_fn: Callable,
             if a.ndim >= 2 else a, corr)
     else:
         corr = solve((x_bar, x0, T0, mask))
-    return corr.x_hat, corr.T_fwd, corr.valid & mask
+    return corr.x_hat, corr.T_fwd, corr.valid & mask, corr.active
+
+
+def _corr_solve_split(cfg: RayTracerConfig, skin_fn: Callable,
+                      frame: CanonicalFrame, skin_dense, x_bar, x0, T0,
+                      mask):
+    """Straggler-resolve split of the corr solve — value-identical
+    results (round-4 perf structure; identical in exact arithmetic,
+    observed <=5e-7 ulp-level gemm reassociation from the differently-
+    shaped phase-2 batch on XLA:CPU).
+
+    The per-tile/per-chunk early-exit loops pay each tile's WORST lane:
+    on the flagship bench scene the mean point deactivates in ~4 Broyden
+    iterations, yet 2048-point tiles average a 36-iteration max because
+    ~0.35% of points stay active past 16 (bench_warmstart.py deactivation
+    histograms). Phase 1 therefore caps every tile at
+    `corr_phase1_steps`; the few still-active stragglers are compacted
+    into one `corr_resolve_cap`-point batch and re-solved FROM SCRATCH at
+    the full `corr_max_steps`. Per-point trajectories are independent
+    and deterministic, so a from-scratch phase-2 solve reproduces the
+    single-pass trajectory exactly, and every point that deactivated
+    within phase 1 already holds its final state — the split changes
+    kernel scheduling, not the computation (pinned by
+    tests/test_sampler.py::TestCorrSplit: masks/convergence exactly
+    equal, values to 1e-6). Overflow guard: actives
+    beyond the cap keep the phase-1 truncated result (valid=False, like
+    any non-converged point); the cap is ~10x the measured worst case.
+    """
+    p1 = cfg.corr_phase1_steps
+    if p1 <= 0 or p1 >= cfg.corr_max_steps:
+        return _corr_solve(cfg, skin_fn, frame, skin_dense, x_bar, x0,
+                           T0, mask)
+    x1, T1, v1, act = _corr_solve(cfg, skin_fn, frame, skin_dense,
+                                  x_bar, x0, T0, mask, max_steps=p1)
+    cap = min(cfg.corr_resolve_cap, x_bar.shape[0])
+    idx = jnp.nonzero(act, size=cap, fill_value=0)[0]
+    sub_m = jnp.arange(cap) < jnp.sum(act)
+    x2, T2, v2, _ = _corr_solve(cfg, skin_fn, frame, skin_dense,
+                                x_bar[idx], x0[idx], T0[idx], sub_m)
+    x = x1.at[idx].set(jnp.where(sub_m[:, None], x2, x1[idx]))
+    T = T1.at[idx].set(jnp.where(sub_m[:, None, None], T2, T1[idx]))
+    v = v1.at[idx].set(jnp.where(sub_m, v2, v1[idx]))
+    return x, T, v, jnp.zeros_like(act)
 
 
 def _warm_start_inits(cfg: RayTracerConfig, z_vals, x_hat_c, T_c, valid_c,
@@ -477,9 +543,9 @@ def canonicalize_samples(cfg: RayTracerConfig, sdf_fn: Callable,
         flat_c = lambda arr: arr[:, :, 0].reshape((n * Sc,) + arr.shape[3:])
 
         # phase 1: coarse samples (slot 0 of each block), KNN init
-        xc, Tc, vc = _corr_solve(cfg, skin_fn, frame, skin_dense,
-                                 flat_c(xb_b), flat_c(x0_b), flat_c(T0_b),
-                                 flat_c(m_b))
+        xc, Tc, vc, _ = _corr_solve_split(
+            cfg, skin_fn, frame, skin_dense, flat_c(xb_b), flat_c(x0_b),
+            flat_c(T0_b), flat_c(m_b))
         xc = xc.reshape(n, Sc, 3)
         Tc = Tc.reshape(n, Sc, 4, 4)
         vc = vc.reshape(n, Sc)
@@ -489,7 +555,7 @@ def canonicalize_samples(cfg: RayTracerConfig, sdf_fn: Callable,
             cfg, z_vals.reshape(n, Sc, C), xc, Tc, vc,
             x0_b[:, :, 1:], T0_b[:, :, 1:])
         nf = n * Sc * (C - 1)
-        xf, Tf, vf = _corr_solve(
+        xf, Tf, vf, _ = _corr_solve_split(
             cfg, skin_fn, frame, skin_dense,
             xb_b[:, :, 1:].reshape(nf, 3), x_init.reshape(nf, 3),
             T_init.reshape(nf, 4, 4), m_b[:, :, 1:].reshape(nf))
@@ -503,8 +569,8 @@ def canonicalize_samples(cfg: RayTracerConfig, sdf_fn: Callable,
         valid = jnp.concatenate(
             [vc[:, :, None], vf.reshape(n, Sc, C - 1)], axis=2).reshape(-1)
     else:
-        x_hat, T_fwd, valid = _corr_solve(cfg, skin_fn, frame, skin_dense,
-                                          x_bar, x0, T0, flat_mask)
+        x_hat, T_fwd, valid, _ = _corr_solve_split(
+            cfg, skin_fn, frame, skin_dense, x_bar, x0, T0, flat_mask)
 
     x_norm = normalize_canonical_points(
         x_hat, frame.coord_min, frame.coord_max, frame.center)

@@ -25,10 +25,19 @@ class BroydenResult(NamedTuple):
     aux: jax.Array        # aux output of g at best x (e.g. (N, 4, 4) tfs)
     diff: jax.Array       # (N,) best |g|
     valid: jax.Array      # (N,) bool, |g| < cvg_thresh
+    active: jax.Array     # (N,) bool, still iterating when the loop hit
+    #                       max_steps (neither converged nor diverged) —
+    #                       the straggler set a phase-2 resolve re-solves
+    #                       (ray_tracing._corr_solve_split)
     steps: jax.Array      # () int32 iterations executed; with
-    #                       track_point_iters: (N,) int32 per-point
-    #                       iteration of first convergence (max_steps if
-    #                       never converged — diagnostics only)
+    #                       track_point_iters: (N, 2) int32 per-point
+    #                       [first-convergence iter (max_steps if never),
+    #                        deactivation iter — when the point left the
+    #                        active set by convergence OR divergence-
+    #                        freeze; max_steps if active to the end].
+    #                       The deactivation column is what a per-tile/
+    #                       per-chunk early-exit loop actually pays:
+    #                       trip count = max over lanes. Diagnostics only.
 
 
 def broyden(g: Callable, x_init: jax.Array, aux_init: jax.Array,
@@ -73,8 +82,13 @@ def broyden(g: Callable, x_init: jax.Array, aux_init: jax.Array,
     # best-so-far aux starts at aux_init (the reference discards the aux of
     # the pre-loop g evaluation, broyden.py:35,39)
     del aux
-    cvg_iter0 = jnp.where(gx_norm < cvg_thresh, 0, max_steps).astype(
-        jnp.int32) if track_point_iters else jnp.zeros((), jnp.int32)
+    if track_point_iters:
+        cvg_iter0 = jnp.stack([
+            jnp.where(gx_norm < cvg_thresh, 0, max_steps),
+            jnp.where(mask0 & ~(gx_norm < cvg_thresh), max_steps, 0),
+        ], axis=-1).astype(jnp.int32)
+    else:
+        cvg_iter0 = jnp.zeros((), jnp.int32)
     st = State(jnp.zeros((), jnp.int32), x, gx, J_inv, update,
                x, aux_init, gx_norm, mask0, cvg_iter0)
 
@@ -100,8 +114,13 @@ def broyden(g: Callable, x_init: jax.Array, aux_init: jax.Array,
 
         active = (gx_norm_opt > cvg_thresh) & (gx_norm < dvg_thresh) & m
         if track_point_iters:
-            newly = (st.cvg_iter >= max_steps) & (gx_norm_opt <= cvg_thresh)
-            cvg_iter = jnp.where(newly, st.i + 1, st.cvg_iter)
+            newly_cvg = (st.cvg_iter[:, 0] >= max_steps) \
+                & (gx_norm_opt <= cvg_thresh)
+            newly_off = st.active & ~active
+            cvg_iter = jnp.stack([
+                jnp.where(newly_cvg, st.i + 1, st.cvg_iter[:, 0]),
+                jnp.where(newly_off, st.i + 1, st.cvg_iter[:, 1]),
+            ], axis=-1)
         else:
             cvg_iter = st.cvg_iter
 
@@ -125,4 +144,5 @@ def broyden(g: Callable, x_init: jax.Array, aux_init: jax.Array,
     aux_opt = jnp.where(mask0.reshape((N,) + (1,) * (st.aux_opt.ndim - 1)),
                         st.aux_opt, aux_init)
     steps = st.cvg_iter if track_point_iters else st.i
-    return BroydenResult(x_opt, aux_opt, st.gx_norm_opt, valid, steps)
+    return BroydenResult(x_opt, aux_opt, st.gx_norm_opt, valid, st.active,
+                         steps)

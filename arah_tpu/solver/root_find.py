@@ -88,6 +88,7 @@ class CorrResult(NamedTuple):
     T_fwd: jax.Array        # (N, 4, 4) forward transforms
     valid: jax.Array        # (N,) bool converged
     diff: jax.Array         # (N,) residual norms
+    active: jax.Array = None  # (N,) bool still-iterating at max_steps
 
 
 def search_canonical_corr(skin_fn: Callable, frame: CanonicalFrame,
@@ -119,7 +120,7 @@ def search_canonical_corr(skin_fn: Callable, frame: CanonicalFrame,
                   track_point_iters=track_point_iters)
     if track_point_iters:
         return res
-    return CorrResult(res.x, res.aux, res.valid, res.diff)
+    return CorrResult(res.x, res.aux, res.valid, res.diff, res.active)
 
 
 class IsoSurfaceResult(NamedTuple):
@@ -172,7 +173,9 @@ def search_iso_surface_depth(sdf_fn: Callable, skin_fn: Callable,
                              cam_rays: jax.Array, valid_mask: jax.Array,
                              x_hat_0: jax.Array, z_0: jax.Array,
                              T_fwd_0: jax.Array, max_steps: int = 50,
-                             cvg_thresh: float = 1e-5) -> IsoSurfaceResult:
+                             cvg_thresh: float = 1e-5,
+                             track_point_iters: bool = False
+                             ) -> IsoSurfaceResult:
     """Joint 4D root-find for the SDF iso-surface point along each ray.
 
     Args:
@@ -200,5 +203,9 @@ def search_iso_surface_depth(sdf_fn: Callable, skin_fn: Callable,
                                     x_hat_0)
     u0 = jnp.concatenate([x_hat_0, z_0[:, None]], axis=-1)
     res = broyden(g, u0, T_fwd_0, J_inv_0, max_steps=max_steps,
-                  cvg_thresh=cvg_thresh, active_init=valid_mask)
+                  cvg_thresh=cvg_thresh, active_init=valid_mask,
+                  track_point_iters=track_point_iters)
+    if track_point_iters:
+        # diagnostics (bench_iters.py): raw result incl. per-point iters
+        return res
     return IsoSurfaceResult(res.x[:, :3], res.x[:, 3], res.aux, res.valid)

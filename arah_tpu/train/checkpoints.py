@@ -209,6 +209,12 @@ def latest_step(ckpt_dir: str):
 
 
 def restore_checkpoint(ckpt_dir: str, target, step: int | None = None):
+    """Restore into `target` (usually a TrainState). Also accepts
+    params-only checkpoints ({'params': ...}, what convert_checkpoint.py
+    writes from reference torch ckpts): the params leaf restores into
+    target.params and the optimizer state / step keep their init values
+    — so `validate.py`/`test.py` run converted reference checkpoints
+    with zero extra glue (tests/test_convert_cli.py)."""
     import orbax.checkpoint as ocp
     if step is None:
         step = latest_step(ckpt_dir)
@@ -216,5 +222,16 @@ def restore_checkpoint(ckpt_dir: str, target, step: int | None = None):
             return None, None
     path = os.path.join(os.path.abspath(ckpt_dir), f'step_{step:08d}')
     ckptr = ocp.StandardCheckpointer()
+    params_only = False
+    try:
+        md = ckptr.metadata(path)
+        tree = getattr(md, 'item_metadata', None) or md
+        keys = set(tree.keys()) if hasattr(tree, 'keys') else None
+        params_only = keys == {'params'}
+    except Exception:
+        pass
+    if params_only and hasattr(target, 'params'):
+        restored = ckptr.restore(path, {'params': target.params})
+        return target._replace(params=restored['params']), step
     state = ckptr.restore(path, target)
     return state, step

@@ -117,19 +117,32 @@ def train(cfg: dict, model_cfg, loss_w, optim_cfg, dataset, params,
         from arah_tpu.parallel.distributed import replicate_over_mesh
         state = replicate_over_mesh(state, mesh)
 
+    # per-block-frame mode (`training.multi_frame_batch: true`): each ray
+    # block carries its OWN frame — independent (frame, view) draws per
+    # step instead of the reference's all-views-of-one-frame batches
+    # (decorrelated gradients, frames-per-chip scaling; see TrainBatch)
+    multi_frame = bool(cfg['training'].get('multi_frame_batch', False))
     step_fn = make_train_step(model_cfg, loss_w, optimizer, mesh=mesh,
                               smpl_model=smpl_model,
                               refine_smpl=refine_smpl,
-                              refine_cameras=refine_cameras)
+                              refine_cameras=refine_cameras,
+                              per_block_frame=multi_frame)
     # pad each step to a shardable block count: local blocks must be a
     # multiple of this process's device share of the mesh
     block_multiple = 1
     if mesh is not None:
         block_multiple = max(1, mesh.devices.size // jax.process_count())
-    sampler = FrameBatchSampler(dataset, shuffle=True, seed=seed,
-                                shard_id=sampler_shard_id,
-                                num_shards=sampler_num_shards,
-                                block_multiple=block_multiple)
+    if multi_frame:
+        from arah_tpu.data.loader import MultiFrameBatchSampler
+        sampler = MultiFrameBatchSampler(dataset, block_multiple,
+                                         shuffle=True, seed=seed,
+                                         shard_id=sampler_shard_id,
+                                         num_shards=sampler_num_shards)
+    else:
+        sampler = FrameBatchSampler(dataset, shuffle=True, seed=seed,
+                                    shard_id=sampler_shard_id,
+                                    num_shards=sampler_num_shards,
+                                    block_multiple=block_multiple)
     key = jax.random.PRNGKey(seed)
     if max_epochs is None:
         max_epochs = cfg['training'].get('max_epochs', 250)
@@ -219,11 +232,13 @@ def train(cfg: dict, model_cfg, loss_w, optim_cfg, dataset, params,
                 noise = sample_noise(noise_rng, len(items),
                                      pose_input_noise, view_input_noise,
                                      nv_noise_type, n_rays=n_rays)
-        return collate_train_batch_np(items, noise)
+        return collate_train_batch_np(items, noise,
+                                      per_block_frame=multi_frame)
 
     if mesh is not None:
         from arah_tpu.parallel.distributed import make_global_batch
-        postprocess = lambda b: make_global_batch(mesh, b)  # noqa: E731
+        postprocess = lambda b: make_global_batch(  # noqa: E731
+            mesh, b, per_block_frame=multi_frame)
     else:
         postprocess = batch_to_device
 

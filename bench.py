@@ -123,6 +123,17 @@ f_lo = train_step_flops(corr_iters=0, march_iters=0, iso_iters=0,
 f_hi = train_step_flops(corr_iters=cfg.tracer.corr_max_steps,
                         march_iters=cfg.tracer.sphere_tracing_iters,
                         iso_iters=cfg.tracer.iso_max_steps, **common)
+# measured-work MFU: calibrated effective solver iteration counts
+# (bench_iters.py: per-point first-convergence iterations aggregated
+# with the kernels' tile-max cost semantics on this bench scene)
+f_eff = eff = None
+eff_path = os.path.join(os.getcwd(), 'EFFECTIVE_ITERS.json')
+if os.path.exists(eff_path):
+    with open(eff_path) as f:
+        eff = json.load(f)
+    f_eff = train_step_flops(corr_iters=eff['corr'],
+                             march_iters=eff['march'],
+                             iso_iters=eff['iso'], **common)
 
 # HBM bytes from XLA's model (custom-call operands/results included;
 # while-loop bodies counted once -> lower bound)
@@ -150,12 +161,18 @@ for r in range(rounds):
 dt = float(np.median(per_round))
 peak_flops, peak_hbm = device_peaks()
 out = {'rays_per_s': n_rays / dt, 'step_ms': dt * 1e3,
+       'rays_per_step': n_rays,
        'rounds_rays_per_s': [round(n_rays / d, 1) for d in per_round],
        'flops_per_step_deterministic': f_lo['total'],
        'flops_per_step_at_solver_caps': f_hi['total']}
 if peak_flops:
     out['mfu'] = f_lo['total'] / dt / peak_flops
     out['mfu_at_solver_caps'] = f_hi['total'] / dt / peak_flops
+    if f_eff is not None:
+        out['mfu_effective'] = f_eff['total'] / dt / peak_flops
+        out['flops_per_step_effective'] = f_eff['total']
+        out['solver_iters_effective'] = {k: eff[k]
+                                         for k in ('march', 'iso', 'corr')}
 if hbm_bytes:
     out['hbm_bytes_per_step'] = hbm_bytes
     if peak_hbm:
@@ -263,11 +280,13 @@ def main():
                        % (os.environ.get('BENCH_ROUNDS', 5),
                           os.environ.get('BENCH_ITERS', 5)),
     }
-    for k in ('mfu', 'mfu_at_solver_caps', 'hbm_util'):
+    for k in ('mfu', 'mfu_effective', 'mfu_at_solver_caps', 'hbm_util'):
         if k in extra:
             out[k] = round(extra[k], 4)
-    for k in ('flops_per_step_deterministic', 'flops_per_step_at_solver_caps',
-              'hbm_bytes_per_step', 'step_ms', 'rounds_rays_per_s'):
+    for k in ('flops_per_step_deterministic', 'flops_per_step_effective',
+              'flops_per_step_at_solver_caps', 'solver_iters_effective',
+              'hbm_bytes_per_step', 'step_ms', 'rounds_rays_per_s',
+              'rays_per_step'):
         if k in extra:
             out[k] = extra[k]
     print(json.dumps(out))

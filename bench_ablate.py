@@ -58,6 +58,9 @@ def main():
         if name.startswith('warm'):           # warm<stride>
             return cfg._replace(tracer=cfg.tracer._replace(
                 corr_coarse_stride=int(name[4:])))
+        if name.startswith('split'):          # split<phase1_steps>
+            return cfg._replace(tracer=cfg.tracer._replace(
+                corr_phase1_steps=int(name[5:])))
         if name.startswith('shade_grad_'):    # shade_grad_<bwd_tile>
             return cfg._replace(
                 pallas_shade_grad_tile=int(name.rsplit('_', 1)[1]))

@@ -142,7 +142,7 @@ def main():
                 key = jnp.linalg.norm(g0 - x_bar, axis=-1)
                 key = jnp.where(mask, key, -1.0)
                 perm = jnp.argsort(key)
-                x_hat, T16, valid = corr_search_pallas_t(
+                x_hat, T16, valid, _ = corr_search_pallas_t(
                     x_bar[perm], x0[perm], T0_16[perm], mask[perm],
                     wts, bs, bones16, frame.coord_min, frame.coord_max,
                     frame.center, tile=tile)

@@ -25,23 +25,41 @@ Checks:
      per-leaf gradient-norm relative error (norms average out the
      decorrelated reassociation noise; a regression is O(1)).
 
-Usage: python bench_kernel_check.py [--rays 4096]
+Runtime: the default shapes are sized for a bounded DRIVER-RUNNABLE
+check (<300 s warm, see `wall_s` in the summary line); `--full` restores
+the round-3 calibration shapes (4096 rays / 8192 points — first cold run
+can take >10 min of axon remote compiles). Every graph persists to the
+on-disk compilation cache, so the second run of either mode is warm.
+The medians the thresholds gate on are size-robust statistics.
+
+Usage: python bench_kernel_check.py [--rays N] [--points N] [--full]
 """
 import argparse
 import json
 import sys
+import time
 
 import numpy as np
 
+T0 = time.perf_counter()
+
 
 def emit(rec):
+    rec = dict(rec, wall_s=round(time.perf_counter() - T0, 1))
     print(json.dumps(rec), flush=True)
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument('--rays', type=int, default=4096)
+    p.add_argument('--rays', type=int, default=None)
+    p.add_argument('--points', type=int, default=None)
+    p.add_argument('--full', action='store_true',
+                   help='round-3 calibration shapes (4096 rays/8192 pts)')
     args = p.parse_args()
+    if args.rays is None:
+        args.rays = 4096 if args.full else 1024
+    if args.points is None:
+        args.points = 8192 if args.full else 4096
 
     import jax
     import jax.numpy as jnp
@@ -100,7 +118,8 @@ def main():
     latent = jnp.asarray(rng.randn(hcfg.latent_dim).astype(np.float32)) \
         if hcfg.use_film else None
     gen = hypernet_generate(hp, hcfg, cond, latent)
-    x = jnp.asarray(rng.uniform(-1, 1, (8192, 3)).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-1, 1,
+                                (args.points, 3)).astype(np.float32))
 
     def xla_path(g, pts):
         def sdf_feat(q):
@@ -137,16 +156,28 @@ def main():
     gr_k = jax.jit(jax.grad(loss(
         lambda g, pts: siren_shade_grad(g, pts, tile=512, tile_bwd=256)),
         argnums=(0, 1)))(gen, x)
-    worst_norm_rel = 0.0
-    for a, b in zip(jax.tree.leaves(gr_x), jax.tree.leaves(gr_k)):
+    worst_norm_rel, worst_leaf = 0.0, ''
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(gr_x),
+            jax.tree_util.tree_leaves_with_path(gr_k)):
         a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
         na = np.linalg.norm(a)
-        worst_norm_rel = max(worst_norm_rel,
-                             float(np.linalg.norm(a - b) / max(na, 1e-3)))
+        rel = float(np.linalg.norm(a - b) / max(na, 1e-3))
+        if rel > worst_norm_rel:
+            worst_norm_rel, worst_leaf = rel, jax.tree_util.keystr(pa)
+    # threshold note: the worst leaf is historically an early-layer
+    # freq/phase grad — its cotangent path runs through the full 30x-sine
+    # chain TWICE (primal + normal adjoint), so reassociation chaos is
+    # amplified ~30^2x relative to a late-layer weight grad; the measured
+    # ~4% norm-rel-err on random-init weights is that noise, not a
+    # lowering bug (a real regression is O(1) and flips eval_render
+    # agreement too). Values are bit-identical in interpret mode
+    # (tests/test_pallas.py).
     rec_ok = worst_norm_rel < 0.05
     ok &= rec_ok
     emit({'check': 'shade_vjp_kernel_vs_xla', 'points': int(x.shape[0]),
-          'worst_leaf_grad_norm_rel_err': worst_norm_rel, 'ok': rec_ok})
+          'worst_leaf_grad_norm_rel_err': worst_norm_rel,
+          'worst_leaf': worst_leaf, 'ok': rec_ok})
 
     emit({'check': 'summary', 'ok': bool(ok)})
     sys.exit(0 if ok else 1)

@@ -85,21 +85,37 @@ def main():
         cvg_thresh=tr.root_finding_threshold, active_init=mm,
         track_point_iters=True))
 
-    def stats(res, mm):
-        it = np.asarray(res.steps)[np.asarray(mm)]
-        ok = np.asarray(res.valid)[np.asarray(mm)]
+    def stats(res, mm, tile=None):
+        mm = np.asarray(mm)
+        it = np.asarray(res.steps)[:, 0][mm]     # first convergence
+        de_full = np.asarray(res.steps)[:, 1]    # deactivation (work)
+        de = de_full[mm]
+        ok = np.asarray(res.valid)[mm]
         hist = np.bincount(np.clip(it, 0, tr.corr_max_steps),
                            minlength=tr.corr_max_steps + 1)
-        return {'n': int(mm.sum()), 'valid': int(ok.sum()),
-                'iters_mean': float(it[ok].mean()) if ok.any() else None,
-                'iters_p50': int(np.percentile(it[ok], 50)) if ok.any() else None,
-                'iters_p99': int(np.percentile(it[ok], 99)) if ok.any() else None,
-                'hist': hist.tolist()}
+        dhist = np.bincount(np.clip(de, 0, tr.corr_max_steps),
+                            minlength=tr.corr_max_steps + 1)
+        out = {'n': int(mm.sum()), 'valid': int(ok.sum()),
+               'iters_mean': float(it[ok].mean()) if ok.any() else None,
+               'iters_p50': int(np.percentile(it[ok], 50)) if ok.any() else None,
+               'iters_p99': int(np.percentile(it[ok], 99)) if ok.any() else None,
+               'deact_mean': float(de.mean()) if mm.any() else None,
+               'deact_p99': int(np.percentile(de, 99)) if mm.any() else None,
+               'hist': hist.tolist(), 'deact_hist': dhist.tolist()}
+        if tile:
+            # what the per-tile early-exit kernel pays: max over lanes
+            w = np.where(mm, np.minimum(de_full, tr.corr_max_steps), 0)
+            pad = (-len(w)) % tile
+            if pad:
+                w = np.concatenate([w, np.zeros(pad, w.dtype)])
+            out['tile_max_mean'] = float(w.reshape(-1, tile).max(1).mean())
+        return out
 
     # A: all points, KNN init
     res_a = jax.block_until_ready(solve(x_bar, x0, T0, flat_m))
+    tile = tr.pallas_corr_tile
     out = {'rays': n, 'samples': S, 'stride': C,
-           'knn_all': stats(res_a, np.asarray(flat_m))}
+           'knn_all': stats(res_a, np.asarray(flat_m), tile=tile)}
 
     # B: coarse-to-fine
     blk = lambda a: a.reshape((n, Sc, C) + a.shape[1:])
@@ -107,7 +123,7 @@ def main():
     fc = lambda a: a[:, :, 0].reshape((n * Sc,) + a.shape[3:])
     res_c = jax.block_until_ready(
         solve(fc(xb_b), fc(x0_b), fc(T0_b), fc(m_b)))
-    out['coarse'] = stats(res_c, np.asarray(fc(m_b)))
+    out['coarse'] = stats(res_c, np.asarray(fc(m_b)), tile=tile)
 
     xc = res_c.x.reshape(n, Sc, 3)
     Tc = res_c.aux.reshape(n, Sc, 4, 4)
@@ -120,7 +136,7 @@ def main():
     res_f = jax.block_until_ready(solve(
         xb_b[:, :, 1:].reshape(nf, 3), x_init.reshape(nf, 3),
         T_init.reshape(nf, 4, 4), mf))
-    out['fine_warm'] = stats(res_f, np.asarray(mf))
+    out['fine_warm'] = stats(res_f, np.asarray(mf), tile=tile)
 
     # fallback fraction: fine slots that did NOT get a two-sided bracket
     x_hi = jnp.concatenate([xc[:, 1:], xc[:, -1:]], axis=1)
@@ -144,14 +160,20 @@ def main():
     out['common_valid_root_dist_p99'] = float(np.percentile(d, 99))
     out['common_valid_root_dist_max'] = float(d.max())
 
-    # effective iteration-work ratio: sum of per-point iterations
-    it_a = np.asarray(res_a.steps)[np.asarray(flat_m)]
+    # effective work ratios. point-level: sum of per-point active
+    # (deactivation) iterations. tile-level: what the shipped per-tile
+    # early-exit kernel pays — N_points x tile-max mean.
+    it_a = np.asarray(res_a.steps)[:, 1][np.asarray(flat_m)]
     work_a = float(np.minimum(it_a, tr.corr_max_steps).sum())
-    it_c = np.asarray(res_c.steps)[np.asarray(fc(m_b))]
-    it_f = np.asarray(res_f.steps)[np.asarray(mf)]
+    it_c = np.asarray(res_c.steps)[:, 1][np.asarray(fc(m_b))]
+    it_f = np.asarray(res_f.steps)[:, 1][np.asarray(mf)]
     work_b = float(np.minimum(it_c, tr.corr_max_steps).sum()
                    + np.minimum(it_f, tr.corr_max_steps).sum())
     out['point_iter_work_ratio'] = work_b / max(work_a, 1.0)
+    tile_work_a = out['knn_all']['tile_max_mean'] * (n * S)
+    tile_work_b = (out['coarse']['tile_max_mean'] * (n * Sc)
+                   + out['fine_warm']['tile_max_mean'] * nf)
+    out['tile_work_ratio'] = tile_work_b / max(tile_work_a, 1.0)
 
     print(json.dumps(out))
 

@@ -177,7 +177,7 @@ class TestCorrKernelTransposed:
             w = lyr['g'] * v / jnp.linalg.norm(v, axis=1, keepdims=True)
             wts.append(w)
             bs.append(lyr['b'])
-        x_hat, T16, valid = corr_search_pallas_t(
+        x_hat, T16, valid, _ = corr_search_pallas_t(
             x_bar, x0, T0.reshape(n, 16), mask, wts, bs,
             frame.bone_transforms.reshape(24, 16),
             frame.coord_min, frame.coord_max, frame.center, tile=256)
@@ -225,9 +225,9 @@ class TestCorrKernelTransposed:
                            (24, 1))
         common = (x_bar, x0, T0, mask, tuple(wts), tuple(bs), bones16,
                   jnp.float32(-1.1), jnp.float32(1.0), jnp.zeros(3))
-        x_f32, _, v_f32 = corr_search_pallas_t(
+        x_f32, _, v_f32, _ = corr_search_pallas_t(
             *common, tile=256, max_steps=20, precision='f32')
-        x_b16, _, v_b16 = corr_search_pallas_t(
+        x_b16, _, v_b16, _ = corr_search_pallas_t(
             *common, tile=256, max_steps=20, precision='bf16',
             cvg_thresh=5e-3)
         # relaxed threshold: bf16 must still converge broadly

@@ -80,3 +80,38 @@ def test_train_sampler_jitter_in_bounds(rng):
     # active samples within [near - range, far]
     assert (z[m] >= near[0] - cfg.surface_vol_range - 1e-4).all()
     assert (z[m] <= far[0] + 1e-4).all()
+
+
+class TestCorrSplit:
+    def test_straggler_resolve_bit_identical(self, rng):
+        """The two-phase straggler-resolve corr solve
+        (corr_phase1_steps > 0) must reproduce the single-pass solve:
+        phase-2 re-solves still-active points from scratch at the full
+        cap, so per-point trajectories are identical in exact
+        arithmetic; the only observable difference is ulp-level gemm
+        reassociation from the differently-shaped phase-2 batch
+        (measured max 5e-7 on XLA:CPU). Masks and convergence must be
+        EXACTLY equal (ray_tracing._corr_solve_split)."""
+        import sys
+        sys.path.insert(0, __file__.rsplit('/', 1)[0])
+        from test_renderer import make_inputs, small_config
+        from arah_tpu.render.renderer import render
+
+        cfg = small_config()
+        params, fd, inp, _ = make_inputs(cfg, rng, n_rays=64)
+        key = jax.random.PRNGKey(1)
+        cfg_split = cfg._replace(tracer=cfg.tracer._replace(
+            corr_phase1_steps=2))
+        out0 = jax.jit(lambda p, i: render(p, cfg, i, key,
+                                           training=False))(params, inp)
+        outs = jax.jit(lambda p, i: render(p, cfg_split, i, key,
+                                           training=False))(params, inp)
+        np.testing.assert_array_equal(
+            np.asarray(out0['network_body_mask']),
+            np.asarray(outs['network_body_mask']))
+        assert abs(int(out0['n_samples_valid'])
+                   - int(outs['n_samples_valid'])) <= 2
+        for k in ('rgb_values', 'weights_sum', 'surface_depth'):
+            np.testing.assert_allclose(np.asarray(out0[k]),
+                                       np.asarray(outs[k]),
+                                       rtol=1e-5, atol=1e-6, err_msg=k)

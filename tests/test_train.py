@@ -161,6 +161,77 @@ class TestSharded:
         assert np.isfinite(float(v))
 
 
+class TestPerBlockFrame:
+    @pytest.mark.slow
+    def test_identical_frames_match_replicated_path(self):
+        """per_block_frame=True with every block carrying the SAME frame
+        must be value-identical to the replicated-frame path (pins the
+        per-block indexing of frame leaves + latent lookup)."""
+        cfg, loss_w, optimizer, state, _, _ = setup(n_blocks=2, n_rays=64)
+        model = synthetic_smpl(n_verts=256)
+        rng = np.random.RandomState(1)
+        fd = prepare_frame(
+            model, jnp.asarray(rng.randn(10).astype(np.float32) * 0.3),
+            jnp.asarray((rng.randn(72) * 0.2).astype(np.float32)),
+            jnp.asarray([0.1, 0.0, 0.2], jnp.float32))
+        key = jax.random.PRNGKey(2)
+        b_mf = synthetic_train_batch(key, fd, n_blocks=2, n_rays=64,
+                                     fds=[fd, fd])
+        b_mf = b_mf._replace(latent_idx=jnp.array([1, 1], jnp.int32))
+        b_sf = synthetic_train_batch(key, fd, n_blocks=2, n_rays=64,
+                                     latent_idx=1)
+        step_mf = make_train_step(cfg, loss_w, optimizer,
+                                  per_block_frame=True, donate=False)
+        step_sf = make_train_step(cfg, loss_w, optimizer, donate=False)
+        k = jax.random.PRNGKey(3)
+        s_mf, l_mf = step_mf(state, b_mf, k)
+        s_sf, l_sf = step_sf(state, b_sf, k)
+        np.testing.assert_allclose(float(l_mf['loss']), float(l_sf['loss']),
+                                   rtol=1e-6)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7),
+            s_mf.params, s_sf.params)
+
+    @pytest.mark.slow
+    def test_distinct_frames_sharded_mesh(self):
+        """8-device mesh, each device's ray block carrying a DIFFERENT
+        frame (distinct SMPL poses): step executes, loss finite, params
+        advance — the reference cannot do this at all (one frame per
+        step asserted, `ray_tracing.py:129-132`)."""
+        from arah_tpu.parallel.train_step import N_PER_BLOCK_FIELDS
+        cfg, loss_w, optimizer, state, _, _ = setup(n_blocks=2, n_rays=32)
+        model = synthetic_smpl(n_verts=256)
+        rng = np.random.RandomState(5)
+        fds = [prepare_frame(
+            model, jnp.asarray(rng.randn(10).astype(np.float32) * 0.3),
+            jnp.asarray((rng.randn(72) * 0.2).astype(np.float32)),
+            jnp.zeros(3)) for _ in range(8)]
+        # 8 latent rows (+1 fallback)
+        params = init_model_params(jax.random.PRNGKey(0),
+                                   small_config(train_skinning=True),
+                                   n_latent_frames=8)
+        optimizer, _ = make_optimizer(
+            OptimConfig(lr=1e-4, train_skinning_net=True), params)
+        state = TrainState(params, optimizer.init(params), jnp.int32(0))
+        batch = synthetic_train_batch(jax.random.PRNGKey(2), fds[0],
+                                      n_blocks=8, n_rays=32, n_reg=16,
+                                      fds=fds)
+        mesh = make_mesh()
+        bs, rep = block_sharding(mesh), replicated(mesh)
+        batch = batch._replace(
+            **{f: jax.device_put(getattr(batch, f), bs)
+               for f in batch._fields[:N_PER_BLOCK_FIELDS]},
+            frame=jax.device_put(batch.frame, bs),
+            latent_idx=jax.device_put(batch.latent_idx, bs))
+        state = jax.device_put(state, rep)
+        step = make_train_step(cfg, loss_w, optimizer, mesh=mesh,
+                               per_block_frame=True)
+        new_state, losses = step(state, batch, jax.random.PRNGKey(4))
+        assert np.isfinite(float(losses['loss']))
+        assert int(new_state.step) == 1
+
+
 class TestCheckpointRoundTrip:
     def test_orbax_save_restore(self, tmp_path):
         import jax.numpy as jnp
