@@ -121,9 +121,13 @@ def model_config_from_cfg(cfg: dict, low_vram: bool = False):
         # coarse-to-fine corr warm start (0 = off, reference semantics)
         corr_coarse_stride=m.get('corr_coarse_stride', 0),
         corr_warm_gate=m.get('corr_warm_gate', 0.1),
-        # straggler-resolve split (bit-identical; 0 = single-pass)
+        # straggler-resolve splits (value-identical; 0 = single-pass)
         corr_phase1_steps=m.get('corr_phase1_steps', 0),
         corr_resolve_cap=m.get('corr_resolve_cap', 4096),
+        march_phase1_steps=m.get('march_phase1_steps', 0),
+        march_resolve_cap=m.get('march_resolve_cap', 512),
+        iso_phase1_steps=m.get('iso_phase1_steps', 0),
+        iso_resolve_cap=m.get('iso_resolve_cap', 512),
     )
 
     return ModelConfig(

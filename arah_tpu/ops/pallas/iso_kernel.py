@@ -68,7 +68,7 @@ def _make_kernel(n_skin_layers, n_sdf_layers, has_film, max_steps,
             p_refs = refs[off + n_sdf_layers - 1:off + 2 * (n_sdf_layers - 1)]
             off += 2 * (n_sdf_layers - 1)
         frame_ref = refs[off]
-        uout_ref, tout_ref, vout_ref = refs[off + 1:]
+        uout_ref, tout_ref, vout_ref, aout_ref = refs[off + 1:]
 
         coord_min = frame_ref[0, 0]
         coord_max = frame_ref[0, 1]
@@ -194,6 +194,8 @@ def _make_kernel(n_skin_layers, n_sdf_layers, has_film, max_steps,
         uout_ref[:] = jnp.where(mask0, u_opt, u0_ref[:])
         tout_ref[:] = jnp.where(mask0, t_opt, t0_ref[:])
         vout_ref[:] = valid.astype(jnp.float32)
+        # still-active at loop exit — the straggler-resolve input
+        aout_ref[:] = st[49:50]
 
     return kernel
 
@@ -273,13 +275,15 @@ def iso_refine_pallas(cam, dirs, u0, T0_16, J_inv0_16, mask,
                      1e-6, softmax_scale),
         grid=(n // tile,),
         in_specs=in_specs,
-        out_specs=(lane((4, tile)), lane((16, tile)), lane((1, tile))),
+        out_specs=(lane((4, tile)), lane((16, tile)), lane((1, tile)),
+                   lane((1, tile))),
         out_shape=(
             jax.ShapeDtypeStruct((4, n), jnp.float32),
             jax.ShapeDtypeStruct((16, n), jnp.float32),
             jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
         ),
         interpret=interpret,
     )(*operands)
-    u, T16, valid = out
-    return u.T, T16.T, valid[0] > 0.5
+    u, T16, valid, active = out
+    return u.T, T16.T, valid[0] > 0.5, active[0] > 0.5

@@ -105,6 +105,16 @@ class RayTracerConfig(NamedTuple):
     # point batch. 0 = single-pass (reference scheduling).
     corr_phase1_steps: int = 0
     corr_resolve_cap: int = 4096
+    # same straggler-resolve split for the sphere-trace march and the
+    # iso refinement: bench_iters.py measures BOTH at their full 50-iter
+    # caps in every tile (each 256/512-ray tile contains a straggler),
+    # so capping phase 1 and re-marching/re-solving only the compacted
+    # stragglers bounds every tile's trip count. march_resolve_cap must
+    # be a pallas_march_tile multiple (512 = 2 tiles).
+    march_phase1_steps: int = 0
+    march_resolve_cap: int = 512
+    iso_phase1_steps: int = 0
+    iso_resolve_cap: int = 512
     # fused joint (canonical point, depth) iso-surface Broyden kernel
     # (ops/pallas/iso_kernel.py); needs BOTH skin_dense and sdf_gen.
     # Default ON since round 3b: re-measured IN-STEP after the glue pass,
@@ -232,6 +242,42 @@ def _march(cfg: RayTracerConfig, sdf_fn: Callable, frame: CanonicalFrame,
                       near, far)
 
 
+def _march_split(cfg: RayTracerConfig, sdf_fn: Callable,
+                 frame: CanonicalFrame, smpl: SmplRef, cam_loc, ray_dirs,
+                 near, far, sdf_gen=None) -> MarchCarry:
+    """Straggler-resolve split of the sphere-trace march (same pattern
+    as _corr_solve_split; march trajectories are per-ray deterministic,
+    so re-marching a straggler from scratch at the full iteration cap
+    reproduces the single-pass result). bench_iters.py: every
+    256-ray tile contains a ray that marches all 50 iterations, so the
+    per-tile early exit never fires — phase 1 caps every tile at
+    `march_phase1_steps`, then only the compacted still-unfinished rays
+    re-march at the full cap."""
+    p1 = cfg.march_phase1_steps
+    n = ray_dirs.shape[0]
+    if p1 <= 0 or p1 >= cfg.sphere_tracing_iters:
+        return _march(cfg, sdf_fn, frame, smpl, cam_loc, ray_dirs, near,
+                      far, sdf_gen=sdf_gen)
+    c1 = _march(cfg._replace(sphere_tracing_iters=p1), sdf_fn, frame,
+                smpl, cam_loc, ray_dirs, near, far, sdf_gen=sdf_gen)
+    act = c1.unfinished
+    cap = min(cfg.march_resolve_cap, n)
+    idx = jnp.nonzero(act, size=cap, fill_value=0)[0]
+    sub_m = jnp.arange(cap) < jnp.sum(act)
+    c2 = _march(cfg, sdf_fn, frame, smpl, cam_loc[idx], ray_dirs[idx],
+                near[idx], far[idx], sdf_gen=sdf_gen)
+    w1 = lambda a, b: jnp.where(sub_m, a, b)
+    return MarchCarry(
+        t=c1.t.at[idx].set(w1(c2.t, c1.t[idx])),
+        unfinished=c1.unfinished.at[idx].set(
+            w1(c2.unfinished, c1.unfinished[idx])),
+        diverged=c1.diverged.at[idx].set(w1(c2.diverged, c1.diverged[idx])),
+        x_norm=c1.x_norm.at[idx].set(
+            jnp.where(sub_m[:, None], c2.x_norm, c1.x_norm[idx])),
+        T_fwd=c1.T_fwd.at[idx].set(
+            jnp.where(sub_m[:, None, None], c2.T_fwd, c1.T_fwd[idx])))
+
+
 def sphere_trace(cfg: RayTracerConfig, sdf_fn: Callable, skin_fn: Callable,
                  frame: CanonicalFrame, smpl: SmplRef, cam_loc: jax.Array,
                  ray_dirs: jax.Array, near: jax.Array, far: jax.Array,
@@ -244,7 +290,8 @@ def sphere_trace(cfg: RayTracerConfig, sdf_fn: Callable, skin_fn: Callable,
     """
     thresh = cfg.root_finding_threshold
 
-    def _iso(cam_loc, ray_dirs, valid, x_hat, z0, T_fwd):
+    def _iso_solve(cam_loc, ray_dirs, valid, x_hat, z0, T_fwd,
+                   max_steps):
         n = ray_dirs.shape[0]
         if (cfg.use_pallas_iso and sdf_gen is not None
                 and skin_dense is not None
@@ -257,7 +304,7 @@ def sphere_trace(cfg: RayTracerConfig, sdf_fn: Callable, skin_fn: Callable,
                                            ray_dirs, x_hat)
             u0 = jnp.concatenate([x_hat, z0[:, None]], axis=-1)
             wts, bs, softmax_scale = skin_dense
-            u, T16, ok = iso_refine_pallas(
+            u, T16, ok, act = iso_refine_pallas(
                 cam_loc, ray_dirs, u0, T_fwd.reshape(n, 16),
                 J_inv0.reshape(n, 16), valid, list(wts), list(bs),
                 frame.bone_transforms.reshape(24, 16),
@@ -265,20 +312,46 @@ def sphere_trace(cfg: RayTracerConfig, sdf_fn: Callable, skin_fn: Callable,
                 list(sdf_gen.freqs), list(sdf_gen.phases),
                 frame.coord_min, frame.coord_max, frame.center,
                 frame.trans, tile=cfg.pallas_iso_tile,
-                max_steps=cfg.iso_max_steps, cvg_thresh=thresh,
+                max_steps=max_steps, cvg_thresh=thresh,
                 softmax_scale=softmax_scale)
             return IsoSurfaceResult(u[:, :3], u[:, 3],
-                                    T16.reshape(n, 4, 4), ok)
+                                    T16.reshape(n, 4, 4), ok, act)
         return search_iso_surface_depth(
             sdf_fn, skin_fn, frame, cam_loc, ray_dirs, valid,
-            x_hat, z0, T_fwd, max_steps=cfg.iso_max_steps,
+            x_hat, z0, T_fwd, max_steps=max_steps,
             cvg_thresh=thresh)
+
+    def _iso(cam_loc, ray_dirs, valid, x_hat, z0, T_fwd):
+        """Iso refinement with the optional straggler-resolve split
+        (same pattern as _corr_solve_split / _march_split)."""
+        p1 = cfg.iso_phase1_steps
+        if p1 <= 0 or p1 >= cfg.iso_max_steps:
+            return _iso_solve(cam_loc, ray_dirs, valid, x_hat, z0,
+                              T_fwd, cfg.iso_max_steps)
+        r1 = _iso_solve(cam_loc, ray_dirs, valid, x_hat, z0, T_fwd, p1)
+        act = r1.active
+        cap = min(cfg.iso_resolve_cap, ray_dirs.shape[0])
+        idx = jnp.nonzero(act, size=cap, fill_value=0)[0]
+        sub_m = jnp.arange(cap) < jnp.sum(act)
+        r2 = _iso_solve(cam_loc[idx], ray_dirs[idx], sub_m, x_hat[idx],
+                        z0[idx], T_fwd[idx], cfg.iso_max_steps)
+        from arah_tpu.solver.root_find import IsoSurfaceResult
+        w1 = lambda a, b: jnp.where(sub_m, a, b)
+        return IsoSurfaceResult(
+            x_hat=r1.x_hat.at[idx].set(
+                jnp.where(sub_m[:, None], r2.x_hat, r1.x_hat[idx])),
+            z_depth=r1.z_depth.at[idx].set(w1(r2.z_depth, r1.z_depth[idx])),
+            T_fwd=r1.T_fwd.at[idx].set(
+                jnp.where(sub_m[:, None, None], r2.T_fwd, r1.T_fwd[idx])),
+            converged=r1.converged.at[idx].set(
+                w1(r2.converged, r1.converged[idx])),
+            active=jnp.zeros_like(act))
 
     def _trace_block(args) -> SphereTraceResult:
         cam_loc, ray_dirs, near, far = args
         n = ray_dirs.shape[0]
-        c = _march(cfg, sdf_fn, frame, smpl, cam_loc, ray_dirs, near, far,
-                   sdf_gen=sdf_gen)
+        c = _march_split(cfg, sdf_fn, frame, smpl, cam_loc, ray_dirs,
+                         near, far, sdf_gen=sdf_gen)
 
         # Joint root-finding refinement of (canonical point, depth).
         x_hat = unnormalize_canonical_points(

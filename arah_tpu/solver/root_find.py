@@ -128,6 +128,7 @@ class IsoSurfaceResult(NamedTuple):
     z_depth: jax.Array      # (N,)
     T_fwd: jax.Array        # (N, 4, 4)
     converged: jax.Array    # (N,) bool
+    active: jax.Array = None  # (N,) bool still-iterating at max_steps
 
 
 def iso_init_inv_jacobian(sdf_fn: Callable, skin_fn: Callable,
@@ -208,4 +209,5 @@ def search_iso_surface_depth(sdf_fn: Callable, skin_fn: Callable,
     if track_point_iters:
         # diagnostics (bench_iters.py): raw result incl. per-point iters
         return res
-    return IsoSurfaceResult(res.x[:, :3], res.x[:, 3], res.aux, res.valid)
+    return IsoSurfaceResult(res.x[:, :3], res.x[:, 3], res.aux, res.valid,
+                            res.active)

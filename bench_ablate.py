@@ -61,6 +61,17 @@ def main():
         if name.startswith('split'):          # split<phase1_steps>
             return cfg._replace(tracer=cfg.tracer._replace(
                 corr_phase1_steps=int(name[5:])))
+        if name.startswith('msplit'):         # msplit<phase1_steps>
+            return cfg._replace(tracer=cfg.tracer._replace(
+                march_phase1_steps=int(name[6:])))
+        if name.startswith('isplit'):         # isplit<phase1_steps>
+            return cfg._replace(tracer=cfg.tracer._replace(
+                iso_phase1_steps=int(name[6:])))
+        if name.startswith('allsplit'):       # allsplit<k>: all three
+            k = int(name[8:])
+            return cfg._replace(tracer=cfg.tracer._replace(
+                corr_phase1_steps=k, march_phase1_steps=k,
+                iso_phase1_steps=k))
         if name.startswith('shade_grad_'):    # shade_grad_<bwd_tile>
             return cfg._replace(
                 pallas_shade_grad_tile=int(name.rsplit('_', 1)[1]))

@@ -174,11 +174,18 @@ def bench_ours(scene, shared, params):
 
     s, sh = scene, shared
     # corr_chunk 1024 is the CPU-tuned solver chunk (16384 on TPU); the
-    # reference likewise picks chunk sizes per device (low_vram flag)
+    # reference likewise picks chunk sizes per device (low_vram flag).
+    # BB_SPLIT=k enables the straggler-resolve splits (value-identical
+    # two-phase solves, ray_tracing._corr_solve_split and friends) —
+    # they bound every chunk/loop at k iterations, which helps the CPU
+    # backend exactly like the TPU kernels.
+    split = int(os.environ.get('BB_SPLIT', 0))
     cfg = model_config('flagship')._replace(
         train_skinning_net=True,
-        tracer=RayTracerConfig(corr_chunk=int(
-            os.environ.get('BB_CORR_CHUNK', 1024))))
+        tracer=RayTracerConfig(
+            corr_chunk=int(os.environ.get('BB_CORR_CHUNK', 1024)),
+            corr_phase1_steps=split, march_phase1_steps=split,
+            iso_phase1_steps=split))
 
     frame = CanonicalFrame(
         bone_transforms=jnp.asarray(s['bone_transforms']),

@@ -138,6 +138,13 @@ def main():
 
     corr_res, x_bar, x0, T0 = jax.block_until_ready(corr_tracked())
 
+    def pcts(a, active, cap):
+        a = np.minimum(np.asarray(a)[np.asarray(active)], cap)
+        return {'p50': int(np.percentile(a, 50)),
+                'p90': int(np.percentile(a, 90)),
+                'p99': int(np.percentile(a, 99)),
+                'at_cap_frac': float((a >= cap).mean())}
+
     out = {
         'rays': n,
         'samples': tr.n_steps,
@@ -145,9 +152,13 @@ def main():
                                np.asarray(march_active),
                                tr.pallas_march_tile,
                                tr.sphere_tracing_iters),
+        'march_point_pcts': pcts(march_fin, march_active,
+                                 tr.sphere_tracing_iters),
         'iso': tile_max_mean(np.asarray(iso_res.steps)[:, 1],
                              np.ones(n, bool),
                              tr.pallas_iso_tile, tr.iso_max_steps),
+        'iso_point_pcts': pcts(iso_res.steps[:, 1], np.ones(n, bool),
+                               tr.iso_max_steps),
         'tiles': {'march': tr.pallas_march_tile, 'iso': tr.pallas_iso_tile,
                   'corr': tr.pallas_corr_tile},
         'method': 'mean over Pallas tiles of the tile-max capped '

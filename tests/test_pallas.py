@@ -376,7 +376,7 @@ class TestIsoKernel:
                                        x_hat)
         u0 = jnp.concatenate([x_hat, c.t[:, None]], axis=-1)
         wts, bs = skinning_dense_params(params['skinning'], cfg.skinning)
-        u, T16, ok = iso_refine_pallas(
+        u, T16, ok, _ = iso_refine_pallas(
             cam_b, dirs, u0, c.T_fwd.reshape(n, 16),
             J_inv0.reshape(n, 16), valid, list(wts), list(bs),
             fd.frame.bone_transforms.reshape(24, 16),
