@@ -88,7 +88,12 @@ from arah_tpu.parallel.train_step import TrainState, make_train_step
 from arah_tpu.train.loss import LossWeights
 from arah_tpu.train.optim import OptimConfig, make_optimizer
 
-n_rays = int(os.environ.get('BENCH_RAYS', 2048))
+# 8192 = the knee of the per-chip batch-size curve (bench_batch.py,
+# PERF.md round 4: 2048->25.2k, 8192->28.4k, 16384->28.8k rays/s;
+# +12% over 2048 from amortizing Adam/hypernet/dispatch overheads,
+# 16384 adds +1.4% at 2x the step latency). Reference loss semantics
+# fix rays-per-IMAGE, not per-step, so denominators are unchanged.
+n_rays = int(os.environ.get('BENCH_RAYS', 8192))
 iters = int(os.environ.get('BENCH_ITERS', 5))
 rounds = int(os.environ.get('BENCH_ROUNDS', 5))
 cfg = _flagship_config()

@@ -67,6 +67,16 @@ def main():
         if name.startswith('isplit'):         # isplit<phase1_steps>
             return cfg._replace(tracer=cfg.tracer._replace(
                 iso_phase1_steps=int(name[6:])))
+        if name == 'nosplit':                 # single-pass solvers (r3)
+            return cfg._replace(tracer=cfg.tracer._replace(
+                corr_phase1_steps=0, march_phase1_steps=0,
+                iso_phase1_steps=0))
+        if name.startswith('allsplitbig'):    # allsplitbig<k>: 2x caps
+            k = int(name[11:])
+            return cfg._replace(tracer=cfg.tracer._replace(
+                corr_phase1_steps=k, march_phase1_steps=k,
+                iso_phase1_steps=k, corr_resolve_cap=8192,
+                march_resolve_cap=1024, iso_resolve_cap=1024))
         if name.startswith('allsplit'):       # allsplit<k>: all three
             k = int(name[8:])
             return cfg._replace(tracer=cfg.tracer._replace(

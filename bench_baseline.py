@@ -258,6 +258,13 @@ def main():
     ours_step, ours_loss, ours_counts_fn = bench_ours(
         scene, shared, params)
     ref_step, ref_loss, ref_counts_fn = bench_torch(scene, shared, modules)
+    # both sides take several steps to reach steady state (torch's
+    # allocator/thread pools warm across STEPS, not just the first call:
+    # round-3 ref pair seconds declined 90 -> 17 s monotonically) — burn
+    # two untimed steps per side so timed pairs measure steady state
+    for _ in range(2):
+        ref_step()
+        ours_step()
     ours_ts, ref_ts, pair_ratios = [], [], []
     for k in range(ITERS):
         # alternate order within pairs: host throughput trends on a

@@ -143,22 +143,48 @@ def main():
         return {'p50': int(np.percentile(a, 50)),
                 'p90': int(np.percentile(a, 90)),
                 'p99': int(np.percentile(a, 99)),
-                'at_cap_frac': float((a >= cap).mean())}
+                'at_cap_frac': float((a >= cap).mean()),
+                # straggler-resolve cap sizing: points still active past
+                # each candidate phase-1 cutoff (resolve_cap must exceed
+                # these with margin or phase 2 truncates)
+                'active_past': {k: int((a > k).sum())
+                                for k in (8, 12, 16, 24)}}
+
+    def split_eff(deact, active, tile, cap, p1, resolve_cap):
+        """Effective per-point iterations under the straggler-resolve
+        split: phase 1 pays tile-max capped at p1; the still-active
+        points re-solve from scratch in ceil(n_active/tile) tiles that
+        pay their own (<= cap) tile max."""
+        if p1 <= 0 or p1 >= cap:
+            return tile_max_mean(deact, active, tile, cap)
+        d = np.asarray(deact)
+        act = np.asarray(active)
+        phase1 = tile_max_mean(d, act, tile, p1)
+        still = act & (np.minimum(d, cap) > p1)
+        n_res = min(int(still.sum()), resolve_cap)
+        res_iters = np.minimum(d[still], cap)[:n_res]
+        n_tiles_res = -(-max(n_res, 1) // tile)
+        phase2 = (n_tiles_res * tile
+                  * (res_iters.max() if n_res else 0)) / len(d)
+        return float(phase1 + phase2)
 
     out = {
         'rays': n,
         'samples': tr.n_steps,
-        'march': tile_max_mean(np.asarray(march_fin),
-                               np.asarray(march_active),
-                               tr.pallas_march_tile,
-                               tr.sphere_tracing_iters),
+        'march': split_eff(march_fin, march_active, tr.pallas_march_tile,
+                           tr.sphere_tracing_iters,
+                           tr.march_phase1_steps, tr.march_resolve_cap),
         'march_point_pcts': pcts(march_fin, march_active,
                                  tr.sphere_tracing_iters),
-        'iso': tile_max_mean(np.asarray(iso_res.steps)[:, 1],
-                             np.ones(n, bool),
-                             tr.pallas_iso_tile, tr.iso_max_steps),
+        'iso': split_eff(np.asarray(iso_res.steps)[:, 1],
+                         np.ones(n, bool), tr.pallas_iso_tile,
+                         tr.iso_max_steps, tr.iso_phase1_steps,
+                         tr.iso_resolve_cap),
         'iso_point_pcts': pcts(iso_res.steps[:, 1], np.ones(n, bool),
                                tr.iso_max_steps),
+        'split_phase1': {'corr': tr.corr_phase1_steps,
+                         'march': tr.march_phase1_steps,
+                         'iso': tr.iso_phase1_steps},
         'tiles': {'march': tr.pallas_march_tile, 'iso': tr.pallas_iso_tile,
                   'corr': tr.pallas_corr_tile},
         'method': 'mean over Pallas tiles of the tile-max capped '
@@ -206,9 +232,10 @@ def main():
         out['corr_fine_tilemax'] = fine_eff
         out['corr_stride'] = C
     else:
-        out['corr'] = tile_max_mean(np.asarray(corr_res.steps)[:, 1],
-                                    np.asarray(flat_m),
-                                    tr.pallas_corr_tile, tr.corr_max_steps)
+        out['corr'] = split_eff(np.asarray(corr_res.steps)[:, 1],
+                                np.asarray(flat_m), tr.pallas_corr_tile,
+                                tr.corr_max_steps, tr.corr_phase1_steps,
+                                tr.corr_resolve_cap)
 
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            args.out), 'w') as f:
