@@ -73,37 +73,59 @@ def main():
     params, fd, inp = _build_scene(cfg, n_rays=args.rays)
     key = jax.random.PRNGKey(7)
 
-    # ---- 1. end-to-end eval render, kernels vs XLA
-    cfg_xla = cfg._replace(
-        use_pallas_shade=False, use_pallas_shade_grad=False,
-        tracer=cfg.tracer._replace(use_pallas_corr=False,
-                                   use_pallas_march=False,
-                                   use_pallas_iso=False))
-
     def run(c):
         f = jax.jit(lambda p, i: render(p, c, i, key, training=False))
         return jax.tree.map(np.asarray, f(params, inp))
 
-    out_k = run(cfg)
-    out_x = run(cfg_xla)
-    m_k = out_k['network_body_mask']
-    m_x = out_x['network_body_mask']
-    mask_agree = float((m_k == m_x).mean())
-    both = m_k & m_x
-    stats = {}
-    for name, key_ in (('rgb', 'rgb_values'), ('depth', 'surface_depth')):
-        d = np.abs(out_k[key_][both] - out_x[key_][both]).ravel() \
-            if both.any() else np.zeros(1)
-        stats[f'{name}_med'] = float(np.median(d))
-        stats[f'{name}_p95'] = float(np.quantile(d, 0.95))
-        stats[f'{name}_max'] = float(d.max())
-    rec_ok = (mask_agree > 0.98 and stats['rgb_med'] < 1e-2
+    def compare(out_a, out_b):
+        m_a = out_a['network_body_mask']
+        m_b = out_b['network_body_mask']
+        both = m_a & m_b
+        stats = {'mask_agreement': round(float((m_a == m_b).mean()), 5)}
+        for name, key_ in (('rgb', 'rgb_values'),
+                           ('depth', 'surface_depth')):
+            d = np.abs(out_a[key_][both] - out_b[key_][both]).ravel() \
+                if both.any() else np.zeros(1)
+            stats[f'{name}_med'] = round(float(np.median(d)), 8)
+            stats[f'{name}_p95'] = round(float(np.quantile(d, 0.95)), 8)
+            stats[f'{name}_max'] = round(float(d.max()), 8)
+        return stats
+
+    # ---- 1a. end-to-end eval render, kernels vs XLA, single-pass
+    # solvers on BOTH sides: a pure Mosaic-lowering regression check
+    # (the straggler-resolve splits are disabled here because their
+    # phase-2 batch shape resamples the floating-point chaos of hard
+    # stragglers — see check 1b — which would mask a lowering bug)
+    nosplit = dict(corr_phase1_steps=0, march_phase1_steps=0,
+                   iso_phase1_steps=0)
+    cfg_k0 = cfg._replace(tracer=cfg.tracer._replace(**nosplit))
+    cfg_x0 = cfg_k0._replace(
+        use_pallas_shade=False, use_pallas_shade_grad=False,
+        tracer=cfg_k0.tracer._replace(use_pallas_corr=False,
+                                      use_pallas_march=False,
+                                      use_pallas_iso=False))
+    out_k0 = run(cfg_k0)
+    stats = compare(out_k0, run(cfg_x0))
+    rec_ok = (stats['mask_agreement'] > 0.98 and stats['rgb_med'] < 1e-2
               and stats['depth_med'] < 1e-4)
     ok &= rec_ok
     emit({'check': 'eval_render_kernels_vs_xla', 'rays': args.rays,
-          'mask_agreement': round(mask_agree, 5),
-          **{k: round(v, 8) for k, v in stats.items()},
-          'bf16_shading': cfg.bf16_shading, 'ok': rec_ok})
+          **stats, 'bf16_shading': cfg.bf16_shading, 'ok': rec_ok})
+
+    # ---- 1b. straggler-resolve split vs single-pass, kernel path:
+    # scheduling invariance. Identical in exact arithmetic; in floats
+    # the phase-2 resolve batch reassociates gemms at the ulp level and
+    # Broyden is chaotic for hard stragglers past ~16 iterations, so a
+    # few marginal rays (~2% of box rays) flip to a
+    # different-but-equally-valid root — measured 0.963-0.981 agreement
+    # band on the bench scene; a real scheduling bug (wrong
+    # gather/scatter, cap overflow) collapses agreement entirely.
+    stats = compare(out_k0, run(cfg))
+    rec_ok = (stats['mask_agreement'] > 0.95 and stats['rgb_med'] < 1e-2
+              and stats['depth_med'] < 1e-4)
+    ok &= rec_ok
+    emit({'check': 'eval_render_split_vs_singlepass', 'rays': args.rays,
+          'phase1': cfg.tracer.corr_phase1_steps, **stats, 'ok': rec_ok})
 
     # ---- 2+3. fused shading kernels, random-init flagship gen, exact f32
     # (matches the calibration measurements in the docstring)
