@@ -141,6 +141,8 @@ def model_config_from_cfg(cfg: dict, low_vram: bool = False):
         use_pallas_shade_grad=m.get('use_pallas_shade_grad', True),
         pallas_shade_grad_tile=m.get('pallas_shade_grad_tile', 256),
         idiff_linearize=m.get('idiff_linearize', True),
+        # measured negative on v5e (renderer.py note) — default off
+        idiff_kernel_jac=m.get('idiff_kernel_jac', False),
     )
 
 

@@ -104,7 +104,7 @@ def _inv3x3_rows(m9):
 
 
 def _make_kernel(n_layers, max_steps, cvg_thresh, dvg_thresh, eps,
-                 softmax_scale, precision='f32'):
+                 softmax_scale, precision='f32', want_jac=False):
     def kernel(xbar_ref, x0_ref, t0_ref, mask_ref, *refs):
         # refs: [W1..Wn ((out, in)), b1..bn ((out, 1)) interleaved,
         #        bones_t (16, 24), frame (1, 8)] + outs
@@ -116,6 +116,7 @@ def _make_kernel(n_layers, max_steps, cvg_thresh, dvg_thresh, eps,
         tout_ref = refs[2 * n_layers + 3]
         valid_ref = refs[2 * n_layers + 4]
         active_ref = refs[2 * n_layers + 5]
+        jac_ref = refs[2 * n_layers + 6] if want_jac else None
 
         coord_min = frame_ref[0, 0]
         coord_max = frame_ref[0, 1]
@@ -251,12 +252,31 @@ def _make_kernel(n_layers, max_steps, cvg_thresh, dvg_thresh, eps,
         gn_opt = st[37:38]
 
         valid = (gn_opt < cvg_thresh) & mask0
-        xout_ref[:] = jnp.where(mask0, x_opt, x0_ref[:])
+        x_out = jnp.where(mask0, x_opt, x0_ref[:])
+        xout_ref[:] = x_out
         tout_ref[:] = jnp.where(mask0, t_opt, t0_ref[:])
         valid_ref[:] = valid.astype(jnp.float32)
         # still-active at loop exit (neither converged nor diverge-frozen)
         # — the straggler set a phase-2 resolve re-solves
         active_ref[:] = st[38:39]
+
+        if want_jac:
+            # exact d fwd_skin / d x_hat at the converged root, via three
+            # in-kernel jvp tangent chains through the same fwd — feeds
+            # the renderer's implicit-diff correction so the XLA graph
+            # needs only the differentiable PRIMAL pass (the Jacobian is
+            # stop-gradded there anyway; round 4). Row layout: k*3+i =
+            # d xb_i / d x_k (column-major columns of J).
+            T = x_out.shape[1]
+            fwd_xb = lambda x: fwd(x)[0]     # xb - x_bar: same derivative
+            cols = []
+            for k in range(3):
+                t_in = jnp.concatenate(
+                    [jnp.ones((1, T)) if i == k else jnp.zeros((1, T))
+                     for i in range(3)], axis=0)
+                _, dxb = jax.jvp(fwd_xb, (x_out,), (t_in,))
+                cols.append(dxb)             # (3, T)
+            jac_ref[:] = jnp.concatenate(cols, axis=0)   # (9, T)
 
     return kernel
 
@@ -267,14 +287,15 @@ def _on_tpu() -> bool:
 
 @partial(jax.jit, static_argnames=('tile', 'max_steps', 'cvg_thresh',
                                    'softmax_scale', 'interpret',
-                                   'precision'))
+                                   'precision', 'want_jac'))
 def corr_search_pallas_t(x_bar, x0, T0_16, mask, skin_weights, skin_biases,
                          bones16, coord_min, coord_max, center,
                          tile: int = 2048, max_steps: int = 50,
                          cvg_thresh: float = 1e-5,
                          softmax_scale: float = 20.0,
                          interpret: bool | None = None,
-                         precision: str = 'f32'):
+                         precision: str = 'f32',
+                         want_jac: bool = False):
     """Fused Broyden canonical-correspondence search, (k, T) layout.
 
     Args:
@@ -300,6 +321,10 @@ def corr_search_pallas_t(x_bar, x0, T0_16, mask, skin_weights, skin_biases,
     Returns (x_hat (N, 3), T16 (N, 16), valid (N,), active (N,))
     — `active` marks points still iterating at max_steps
     (straggler-resolve input, ray_tracing._corr_solve_split).
+    want_jac=True appends jac (N, 3, 3): the EXACT d fwd_skin/d x_hat
+    at the returned root (three in-kernel jvp tangent chains), feeding
+    the renderer's implicit-diff correction without the three XLA
+    tangent passes (the Jacobian is stop-gradded there).
     """
     if interpret is None:
         interpret = not _on_tpu()
@@ -332,31 +357,43 @@ def corr_search_pallas_t(x_bar, x0, T0_16, mask, skin_weights, skin_biases,
         pl.BlockSpec(frame_vec.shape, lambda i: (0, 0),
                      memory_space=pltpu.VMEM)]
 
+    out_specs = [
+        pl.BlockSpec((3, tile), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((16, tile), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((3, n), jnp.float32),
+        jax.ShapeDtypeStruct((16, n), jnp.float32),
+        jax.ShapeDtypeStruct((1, n), jnp.float32),
+        jax.ShapeDtypeStruct((1, n), jnp.float32),
+    ]
+    if want_jac:
+        out_specs.append(pl.BlockSpec((9, tile), lambda i: (0, i),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((9, n), jnp.float32))
     out = pl.pallas_call(
         _make_kernel(n_layers, max_steps, cvg_thresh, 1.0, 1e-6,
-                     softmax_scale, precision=precision),
+                     softmax_scale, precision=precision,
+                     want_jac=want_jac),
         grid=(n // tile,),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((3, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((3, n), jnp.float32),
-            jax.ShapeDtypeStruct((16, n), jnp.float32),
-            jax.ShapeDtypeStruct((1, n), jnp.float32),
-            jax.ShapeDtypeStruct((1, n), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
     )(*operands)
-    x_hat_t, T16_t, valid, active = out
-    return x_hat_t.T, T16_t.T, valid[0] > 0.5, active[0] > 0.5
+    x_hat_t, T16_t, valid, active = out[:4]
+    res = (x_hat_t.T, T16_t.T, valid[0] > 0.5, active[0] > 0.5)
+    if want_jac:
+        # (9, T) rows k*3+i = d xb_i/d x_k -> (N, 3, 3) with [i, k]
+        jac = out[4].T.reshape(n, 3, 3).transpose(0, 2, 1)
+        res = res + (jac,)
+    return res
 
 
 def skinning_dense_params(params, cfg):

@@ -387,6 +387,10 @@ class SamplerResult(NamedTuple):
     points_norm: jax.Array     # (N, S, 3) canonical samples (normalized)
     transforms: jax.Array      # (N, S, 4, 4) forward transforms
     converge_mask: jax.Array   # (N, S) root-finding convergence
+    jac: jax.Array = None      # (N, S, 3, 3) exact d fwd_skin/d x_hat at
+    #                            the roots (corr-kernel want_jac output;
+    #                            None on XLA/CPU paths) — feeds the
+    #                            renderer's implicit-diff correction
 
 
 def sample_z_vals(cfg: RayTracerConfig, key, body_mask: jax.Array,
@@ -434,7 +438,7 @@ def sample_z_vals(cfg: RayTracerConfig, key, body_mask: jax.Array,
 
 def _corr_solve(cfg: RayTracerConfig, skin_fn: Callable,
                 frame: CanonicalFrame, skin_dense, x_bar, x0, T0, mask,
-                max_steps: int | None = None):
+                max_steps: int | None = None, want_jac: bool = False):
     """Flat canonical-correspondence solve with Pallas/chunked/dense
     dispatch. x_bar/x0: (N, 3); T0: (N, 4, 4); mask: (N,).
     Returns (x_hat (N, 3) metric, T_fwd (N, 4, 4), valid (N,),
@@ -448,15 +452,18 @@ def _corr_solve(cfg: RayTracerConfig, skin_fn: Callable,
             and n_total % cfg.pallas_corr_tile == 0):
         from arah_tpu.ops.pallas.corr_kernel_t import corr_search_pallas_t
         wts, bs, softmax_scale = skin_dense
-        x_hat, T16, valid, active = corr_search_pallas_t(
+        out = corr_search_pallas_t(
             x_bar, x0, T0.reshape(n_total, 16), mask, list(wts),
             list(bs), frame.bone_transforms.reshape(24, 16),
             frame.coord_min, frame.coord_max, frame.center,
             tile=cfg.pallas_corr_tile, max_steps=max_steps,
             cvg_thresh=cfg.root_finding_threshold,
             softmax_scale=softmax_scale,
-            precision=cfg.pallas_precision)
-        return x_hat, T16.reshape(n_total, 4, 4), valid & mask, active
+            precision=cfg.pallas_precision, want_jac=want_jac)
+        x_hat, T16, valid, active = out[:4]
+        jac = out[4] if want_jac else None
+        return (x_hat, T16.reshape(n_total, 4, 4), valid & mask, active,
+                jac)
 
     def solve(args):
         xb, xi, ti, m = args
@@ -480,12 +487,12 @@ def _corr_solve(cfg: RayTracerConfig, skin_fn: Callable,
             if a.ndim >= 2 else a, corr)
     else:
         corr = solve((x_bar, x0, T0, mask))
-    return corr.x_hat, corr.T_fwd, corr.valid & mask, corr.active
+    return corr.x_hat, corr.T_fwd, corr.valid & mask, corr.active, None
 
 
 def _corr_solve_split(cfg: RayTracerConfig, skin_fn: Callable,
                       frame: CanonicalFrame, skin_dense, x_bar, x0, T0,
-                      mask):
+                      mask, want_jac: bool = False):
     """Straggler-resolve split of the corr solve — value-identical
     results (round-4 perf structure; identical in exact arithmetic,
     observed <=5e-7 ulp-level gemm reassociation from the differently-
@@ -511,18 +518,23 @@ def _corr_solve_split(cfg: RayTracerConfig, skin_fn: Callable,
     p1 = cfg.corr_phase1_steps
     if p1 <= 0 or p1 >= cfg.corr_max_steps:
         return _corr_solve(cfg, skin_fn, frame, skin_dense, x_bar, x0,
-                           T0, mask)
-    x1, T1, v1, act = _corr_solve(cfg, skin_fn, frame, skin_dense,
-                                  x_bar, x0, T0, mask, max_steps=p1)
+                           T0, mask, want_jac=want_jac)
+    x1, T1, v1, act, J1 = _corr_solve(cfg, skin_fn, frame, skin_dense,
+                                      x_bar, x0, T0, mask, max_steps=p1,
+                                      want_jac=want_jac)
     cap = min(cfg.corr_resolve_cap, x_bar.shape[0])
     idx = jnp.nonzero(act, size=cap, fill_value=0)[0]
     sub_m = jnp.arange(cap) < jnp.sum(act)
-    x2, T2, v2, _ = _corr_solve(cfg, skin_fn, frame, skin_dense,
-                                x_bar[idx], x0[idx], T0[idx], sub_m)
+    x2, T2, v2, _, J2 = _corr_solve(cfg, skin_fn, frame, skin_dense,
+                                    x_bar[idx], x0[idx], T0[idx], sub_m,
+                                    want_jac=want_jac)
     x = x1.at[idx].set(jnp.where(sub_m[:, None], x2, x1[idx]))
     T = T1.at[idx].set(jnp.where(sub_m[:, None, None], T2, T1[idx]))
     v = v1.at[idx].set(jnp.where(sub_m, v2, v1[idx]))
-    return x, T, v, jnp.zeros_like(act)
+    J = None
+    if J1 is not None and J2 is not None:
+        J = J1.at[idx].set(jnp.where(sub_m[:, None, None], J2, J1[idx]))
+    return x, T, v, jnp.zeros_like(act), J
 
 
 def _warm_start_inits(cfg: RayTracerConfig, z_vals, x_hat_c, T_c, valid_c,
@@ -580,7 +592,7 @@ def canonicalize_samples(cfg: RayTracerConfig, sdf_fn: Callable,
                          smpl: SmplRef, cam_loc: jax.Array,
                          ray_dirs: jax.Array, z_vals: jax.Array,
                          sample_mask: jax.Array, eval_mode: bool = True,
-                         skin_dense=None):
+                         skin_dense=None, want_jac: bool = False):
     """Backward-map all ray samples to canonical space via root-finding.
 
     Mirrors `inv_transform_points_opt` (`ray_tracing.py:403-461`): KNN-init
@@ -594,6 +606,10 @@ def canonicalize_samples(cfg: RayTracerConfig, sdf_fn: Callable,
 
     skin_dense: optional ((weights...), (biases...), softmax_scale) of the
     collapsed skinning MLP — enables the fused Pallas corr kernel on TPU.
+    want_jac: also return the exact per-root d fwd_skin/d x_hat from the
+    corr kernel (None when the XLA path solves) — the renderer's
+    implicit-diff correction consumes it instead of running three XLA
+    tangent passes.
     """
     n, S = z_vals.shape
     pts_world = (cam_loc[:, None, :] + z_vals[..., None] * ray_dirs[:, None, :]
@@ -616,9 +632,9 @@ def canonicalize_samples(cfg: RayTracerConfig, sdf_fn: Callable,
         flat_c = lambda arr: arr[:, :, 0].reshape((n * Sc,) + arr.shape[3:])
 
         # phase 1: coarse samples (slot 0 of each block), KNN init
-        xc, Tc, vc, _ = _corr_solve_split(
+        xc, Tc, vc, _, Jc = _corr_solve_split(
             cfg, skin_fn, frame, skin_dense, flat_c(xb_b), flat_c(x0_b),
-            flat_c(T0_b), flat_c(m_b))
+            flat_c(T0_b), flat_c(m_b), want_jac=want_jac)
         xc = xc.reshape(n, Sc, 3)
         Tc = Tc.reshape(n, Sc, 4, 4)
         vc = vc.reshape(n, Sc)
@@ -628,10 +644,11 @@ def canonicalize_samples(cfg: RayTracerConfig, sdf_fn: Callable,
             cfg, z_vals.reshape(n, Sc, C), xc, Tc, vc,
             x0_b[:, :, 1:], T0_b[:, :, 1:])
         nf = n * Sc * (C - 1)
-        xf, Tf, vf, _ = _corr_solve_split(
+        xf, Tf, vf, _, Jf = _corr_solve_split(
             cfg, skin_fn, frame, skin_dense,
             xb_b[:, :, 1:].reshape(nf, 3), x_init.reshape(nf, 3),
-            T_init.reshape(nf, 4, 4), m_b[:, :, 1:].reshape(nf))
+            T_init.reshape(nf, 4, 4), m_b[:, :, 1:].reshape(nf),
+            want_jac=want_jac)
 
         x_hat = jnp.concatenate(
             [xc[:, :, None], xf.reshape(n, Sc, C - 1, 3)],
@@ -641,15 +658,22 @@ def canonicalize_samples(cfg: RayTracerConfig, sdf_fn: Callable,
             axis=2).reshape(-1, 4, 4)
         valid = jnp.concatenate(
             [vc[:, :, None], vf.reshape(n, Sc, C - 1)], axis=2).reshape(-1)
+        jac = None
+        if Jc is not None and Jf is not None:
+            jac = jnp.concatenate(
+                [Jc.reshape(n, Sc, 1, 3, 3),
+                 Jf.reshape(n, Sc, C - 1, 3, 3)], axis=2).reshape(-1, 3, 3)
     else:
-        x_hat, T_fwd, valid, _ = _corr_solve_split(
-            cfg, skin_fn, frame, skin_dense, x_bar, x0, T0, flat_mask)
+        x_hat, T_fwd, valid, _, jac = _corr_solve_split(
+            cfg, skin_fn, frame, skin_dense, x_bar, x0, T0, flat_mask,
+            want_jac=want_jac)
 
     x_norm = normalize_canonical_points(
         x_hat, frame.coord_min, frame.coord_max, frame.center)
     return (x_norm.reshape(n, S, 3),
             T_fwd.reshape(n, S, 4, 4),
-            (valid & flat_mask).reshape(n, S))
+            (valid & flat_mask).reshape(n, S),
+            jac.reshape(n, S, 3, 3) if jac is not None else None)
 
 
 class TraceOutput(NamedTuple):
@@ -662,7 +686,7 @@ def trace_and_sample(cfg: RayTracerConfig, sdf_fn: Callable,
                      cam_loc: jax.Array, ray_dirs: jax.Array,
                      near: jax.Array, far: jax.Array, key,
                      eval_mode: bool = False, skin_dense=None,
-                     sdf_gen=None) -> TraceOutput:
+                     sdf_gen=None, want_jac: bool = False) -> TraceOutput:
     """Full ray-tracing pass: sphere trace + sample + canonicalize.
 
     Mirrors `BodyRayTracing.forward` (`ray_tracing.py:51-172`). Everything
@@ -674,7 +698,9 @@ def trace_and_sample(cfg: RayTracerConfig, sdf_fn: Callable,
     body_mask = ~surf.unconverged
     z_vals, sample_mask = sample_z_vals(
         cfg, key, body_mask, surf.start_dis, near, far, eval_mode)
-    pts, tfs, cvg = canonicalize_samples(
+    pts, tfs, cvg, jac = canonicalize_samples(
         cfg, sdf_fn, skin_fn, frame, smpl, cam_loc, ray_dirs, z_vals,
-        sample_mask, eval_mode=eval_mode, skin_dense=skin_dense)
-    return TraceOutput(surf, SamplerResult(z_vals, sample_mask, pts, tfs, cvg))
+        sample_mask, eval_mode=eval_mode, skin_dense=skin_dense,
+        want_jac=want_jac)
+    return TraceOutput(surf, SamplerResult(z_vals, sample_mask, pts, tfs,
+                                           cvg, jac))

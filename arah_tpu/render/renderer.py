@@ -74,6 +74,19 @@ class ModelConfig(NamedTuple):
     # same finding as solver/root_find.py:forward_skinning_jac). Values
     # and param-grads identical to f32 noise; False = old form (A/B).
     idiff_linearize: bool = True
+    # take the implicit-diff Jacobian from the corr KERNEL instead
+    # (ops/pallas/corr_kernel_t.py want_jac: three in-kernel jvp chains
+    # at the converged roots, VMEM-resident) — the XLA graph then runs
+    # only the differentiable PRIMAL skinning pass. Exact same J (the
+    # Jacobian is stop-gradded either way; pinned by
+    # TestIdiffKernelJac + test_want_jac_matches_exact_jacobian).
+    # MEASURED NEGATIVE on v5e (round 4): 30.6k vs 35.4k rays/s at 8192
+    # rays — the corr kernel is VPU-bound and the three tangent chains
+    # (softplus/hier-softmax derivative algebra) triple its most
+    # expensive non-overlapped work, costing far more than the three
+    # plain-matmul XLA tangent passes they replace. Default OFF; kept
+    # as a tested A/B (bench_ablate 'idiff_xla' vs default).
+    idiff_kernel_jac: bool = False
 
 
 def make_skin_fn(params, cfg: ModelConfig, stop_grad: bool = False):
@@ -148,7 +161,7 @@ class RenderInputs(NamedTuple):
 def shade_samples(params, cfg: ModelConfig, gen: GeneratedMLP,
                   frame: CanonicalFrame, points_norm, z_vals, transforms_fwd,
                   converge_mask, view_dirs, view_dirs_orig, pose_feature,
-                  training: bool, ray_augm: bool = False):
+                  training: bool, ray_augm: bool = False, jac=None):
     """SDF + color + VolSDF compositing over dense (n_rays, S) samples.
 
     Mirrors `get_rbg_value_vol_sdf`
@@ -179,7 +192,17 @@ def shade_samples(params, cfg: ModelConfig, gen: GeneratedMLP,
             x_bar, _ = forward_skinning(skin_fn, frame, x_hat)
             return x_bar
 
-        if cfg.idiff_linearize:
+        if jac is not None:
+            # corr-kernel-provided exact metric-space Jacobian at the
+            # roots (SamplerResult.jac; stop-gradded by the tracer).
+            # fwd_batched = fwd_skin o unnormalize, and unnormalize has
+            # the constant (per-axis) scale s_u = 1.1*(cmax-cmin)/2, so
+            # J_norm columns are the metric columns scaled by s_u — the
+            # XLA graph then needs only the differentiable PRIMAL pass.
+            s_u = 1.1 * (frame.coord_max - frame.coord_min) / 2.0
+            J = jac.reshape(-1, 3, 3) * s_u
+            f = fwd_batched(flat_p)
+        elif cfg.idiff_linearize:
             # ONE batched linearize: the primal skinning pass runs once
             # (its param gradients flow through `f` below), and the
             # Jacobian comes from three batched tangent passes — plain
@@ -336,11 +359,13 @@ def render(params, cfg: ModelConfig, inp: RenderInputs, key,
     sdf_gen_ng = jax.lax.stop_gradient(gen) \
         if (cfg.tracer.use_pallas_march or cfg.tracer.use_pallas_iso) \
         else None
+    want_jac = (training and cfg.train_skinning_net
+                and cfg.idiff_kernel_jac and skin_dense is not None)
     trace = trace_and_sample(
         cfg.tracer, sdf_fn_ng, skin_fn_ng, inp.frame, inp.smpl,
         jnp.broadcast_to(inp.cam_loc, inp.ray_dirs.shape), inp.ray_dirs,
         inp.near, inp.far, k_trace, eval_mode=not training,
-        skin_dense=skin_dense, sdf_gen=sdf_gen_ng)
+        skin_dense=skin_dense, sdf_gen=sdf_gen_ng, want_jac=want_jac)
     trace = jax.lax.stop_gradient(trace)
     samples = trace.samples
 
@@ -362,7 +387,7 @@ def render(params, cfg: ModelConfig, inp: RenderInputs, key,
     rgb_values, weights_sum = shade_samples(
         params, cfg, gen, inp.frame, samples.points_norm, samples.z_vals,
         samples.transforms, samples.converge_mask, ray_dirs, inp.ray_dirs,
-        pose_feature, training, ray_augm=ray_augm)
+        pose_feature, training, ray_augm=ray_augm, jac=samples.jac)
 
     out = {
         'rgb_values': rgb_values,                      # (N, 3)

@@ -55,6 +55,8 @@ def main():
             return cfg._replace(use_pallas_shade_grad=False)
         if name == 'idiff_jacfwd':
             return cfg._replace(idiff_linearize=False)
+        if name == 'idiff_xla':               # disable kernel-J (r4 A/B)
+            return cfg._replace(idiff_kernel_jac=False)
         if name.startswith('warm'):           # warm<stride>
             return cfg._replace(tracer=cfg.tracer._replace(
                 corr_coarse_stride=int(name[4:])))

@@ -197,6 +197,56 @@ class TestCorrKernelTransposed:
         np.testing.assert_allclose(np.asarray(x_hat)[off],
                                    np.asarray(x0)[off], atol=1e-6)
 
+    def test_want_jac_matches_exact_jacobian(self, rng):
+        """want_jac=True: the kernel's in-kernel-jvp Jacobian at the
+        returned roots must equal forward_skinning_jac there (it feeds
+        the renderer's implicit-diff correction, renderer.py
+        idiff_kernel_jac)."""
+        from arah_tpu.nn.skinning import SkinningConfig, init_skinning
+        from arah_tpu.render.ray_tracing import CanonicalFrame
+        from arah_tpu.solver.root_find import (forward_skinning,
+                                               forward_skinning_jac)
+        from arah_tpu.ops.pallas.corr_kernel_t import corr_search_pallas_t
+        from arah_tpu.core.smpl import batch_rodrigues
+        from arah_tpu.core.body import normalize_canonical_points
+        from arah_tpu.render.renderer import make_skin_fn
+
+        cfg = SkinningConfig(d_hidden=64, n_layers=3)
+        params = init_skinning(jax.random.PRNGKey(0), cfg)
+        aa = (rng.randn(24, 3) * 0.15).astype(np.float32)
+        R = np.asarray(batch_rodrigues(jnp.asarray(aa)))
+        tfs = np.tile(np.eye(4, dtype=np.float32), (24, 1, 1))
+        tfs[:, :3, :3] = R
+        tfs[:, :3, 3] = (rng.randn(24, 3) * 0.05).astype(np.float32)
+        frame = CanonicalFrame(
+            bone_transforms=jnp.asarray(tfs), trans=jnp.zeros(3),
+            coord_min=jnp.float32(-1.1), coord_max=jnp.float32(1.0),
+            center=jnp.asarray(rng.randn(3).astype(np.float32) * 0.05))
+        skin_fn = make_skin_fn({'skinning': params},
+                               type('C', (), {'skinning': cfg}))
+        n = 256
+        x_gt = jnp.asarray(rng.randn(n, 3).astype(np.float32) * 0.3)
+        x_bar, _ = forward_skinning(skin_fn, frame, x_gt)
+        x0 = x_gt + 0.03 * jnp.asarray(rng.randn(n, 3).astype(np.float32))
+        x0n = normalize_canonical_points(x0, frame.coord_min,
+                                         frame.coord_max, frame.center)
+        T0 = jnp.einsum('nj,jab->nab', skin_fn(x0n),
+                        frame.bone_transforms)
+        wts, bs = [], []
+        for lyr in params['layers']:
+            v = lyr['v']
+            w = lyr['g'] * v / jnp.linalg.norm(v, axis=1, keepdims=True)
+            wts.append(w)
+            bs.append(lyr['b'])
+        x_hat, _, valid, _, jac = corr_search_pallas_t(
+            x_bar, x0, T0.reshape(n, 16), jnp.ones((n,), bool), wts, bs,
+            frame.bone_transforms.reshape(24, 16),
+            frame.coord_min, frame.coord_max, frame.center, tile=256,
+            want_jac=True)
+        J_ref = forward_skinning_jac(skin_fn, frame, x_hat)
+        np.testing.assert_allclose(np.asarray(jac), np.asarray(J_ref),
+                                   rtol=1e-4, atol=1e-5)
+
     def test_bf16_precision_relaxed_threshold(self, rng):
         """precision='bf16' (single-pass bf16 matmuls, f32 accum) pins
         the ROADMAP-3 contract: hidden-activation rounding floors the

@@ -228,6 +228,64 @@ class TestIdiffLinearize:
         assert skin_norm > 0
 
 
+class TestIdiffKernelJac:
+    def test_supplied_jac_matches_autodiff_path(self, rng):
+        """shade_samples with a SUPPLIED exact Jacobian (the corr
+        kernel's want_jac output on TPU) must produce the same loss AND
+        parameter gradients as the autodiff (linearize) path — pins the
+        metric->normalized s_u conversion and the primal-only XLA graph
+        (renderer.py idiff_kernel_jac)."""
+        import jax
+        from arah_tpu.core.body import unnormalize_canonical_points
+        from arah_tpu.render.ray_tracing import trace_and_sample
+        from arah_tpu.render.renderer import (color_pose_feature,
+                                              generate_sdf, make_sdf_fn,
+                                              make_skin_fn, shade_samples)
+        from arah_tpu.solver.root_find import forward_skinning_jac
+
+        cfg = small_config(train_skinning=True)
+        params, fd, inp, _ = make_inputs(cfg, rng, n_rays=16, training=True)
+        gen = generate_sdf(params, cfg, inp.rots, inp.Jtrs, inp.geo_latent)
+        cam_b = jnp.broadcast_to(inp.cam_loc, inp.ray_dirs.shape)
+        trace = trace_and_sample(
+            cfg.tracer, make_sdf_fn(gen, True), make_skin_fn(params, cfg,
+                                                             True),
+            inp.frame, inp.smpl, cam_b, inp.ray_dirs, inp.near, inp.far,
+            jax.random.PRNGKey(3), eval_mode=False)
+        trace = jax.lax.stop_gradient(trace)
+        s = trace.samples
+        n, S = s.z_vals.shape
+        # the exact metric-space Jacobian the kernel would produce
+        x_hat = unnormalize_canonical_points(
+            s.points_norm.reshape(-1, 3), inp.frame.coord_min,
+            inp.frame.coord_max, inp.frame.center)
+        jac = forward_skinning_jac(make_skin_fn(params, cfg, True),
+                                   inp.frame, x_hat).reshape(n, S, 3, 3)
+        pose_cond = dict(inp.pose_cond_extra)
+        pose_cond.update({'rots_full': inp.rots_full,
+                          'Jtrs_posed': inp.Jtrs_posed})
+
+        def loss_fn(p, use_jac):
+            pf = color_pose_feature(p['color'], cfg.color, pose_cond)
+            rgb, ws = shade_samples(
+                p, cfg, generate_sdf(p, cfg, inp.rots, inp.Jtrs,
+                                     inp.geo_latent),
+                inp.frame, s.points_norm, s.z_vals, s.transforms,
+                s.converge_mask, inp.ray_dirs, inp.ray_dirs, pf,
+                training=True, jac=jac if use_jac else None)
+            return jnp.sum(rgb ** 2) + jnp.sum(ws)
+
+        l_j, g_j = jax.jit(jax.value_and_grad(loss_fn),
+                           static_argnums=1)(params, True)
+        l_a, g_a = jax.jit(jax.value_and_grad(loss_fn),
+                           static_argnums=1)(params, False)
+        np.testing.assert_allclose(float(l_j), float(l_a), rtol=1e-6)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+            g_j, g_a)
+
+
 class TestIsoTrainModeMask:
     def test_train_mode_refines_all_rays_eval_skips_diverged(self, rng):
         """Pin the iso-refinement active mask to the reference's
