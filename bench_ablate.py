@@ -57,6 +57,15 @@ def main():
             return cfg._replace(idiff_linearize=False)
         if name == 'idiff_xla':               # disable kernel-J (r4 A/B)
             return cfg._replace(idiff_kernel_jac=False)
+        if name.startswith('corrtile'):
+            return cfg._replace(tracer=cfg.tracer._replace(
+                pallas_corr_tile=int(name[8:])))
+        if name.startswith('isotile'):
+            return cfg._replace(tracer=cfg.tracer._replace(
+                pallas_iso_tile=int(name[7:])))
+        if name.startswith('marchtile'):
+            return cfg._replace(tracer=cfg.tracer._replace(
+                pallas_march_tile=int(name[9:])))
         if name.startswith('warm'):           # warm<stride>
             return cfg._replace(tracer=cfg.tracer._replace(
                 corr_coarse_stride=int(name[4:])))

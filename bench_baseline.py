@@ -344,7 +344,13 @@ def main():
                   'trade; the per-shaded-point ratio is the '
                   'work-normalized framework comparison. On TPU the dense '
                   'design is what makes the MXU usable (PERF.md, '
-                  'BENCH_r*.json).'),
+                  'BENCH_r*.json). Protocol (round 4): two untimed '
+                  'steady-state warmup steps per side — round 3 timed '
+                  'torch mid-warmup (pair seconds declining 90->17 s), '
+                  'flattering the ratio; stage attribution lives in '
+                  'BENCH_CPU_ATTRIB.json (the tracer is ~3 of ~28 s; the '
+                  'residual gap is XLA:CPU-vs-MKL gemm efficiency in the '
+                  'shading/backward block).'),
     }
     with open(os.path.join(os.path.dirname(__file__) or '.',
                            'BENCH_BASELINE.json'), 'w') as f:
