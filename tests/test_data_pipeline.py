@@ -112,6 +112,32 @@ class TestDataset:
             frames = {ds.data[i]['frame_idx'] for i in g}
             assert len(frames) == 1
 
+    def test_multi_frame_sampler(self, fake_root):
+        """MultiFrameBatchSampler (per-block-frame mode): every item
+        visited exactly once per epoch, multi-process shards disjoint
+        and equal step counts, per-step batch size respected."""
+        from arah_tpu.data.loader import MultiFrameBatchSampler
+        ds = make_dataset(fake_root)
+        n_items = len(ds.data)
+        s = MultiFrameBatchSampler(ds, batch_size=2, shuffle=True, seed=3)
+        steps = list(s)
+        assert all(len(g) == 2 for g in steps)
+        seen = [i for g in steps for i in g]
+        assert sorted(seen) == sorted(set(seen))   # no dup within epoch
+        assert len(seen) == (n_items // 2) * 2
+        # a fresh epoch reshuffles
+        steps2 = list(s)
+        assert sorted(x for g in steps2 for x in g) == sorted(seen)
+        # sharding: disjoint strided slices, same step count per rank
+        s0 = MultiFrameBatchSampler(ds, 1, shuffle=False, shard_id=0,
+                                    num_shards=2)
+        s1 = MultiFrameBatchSampler(ds, 1, shuffle=False, shard_id=1,
+                                    num_shards=2)
+        i0 = {i for g in s0 for i in g}
+        i1 = {i for g in s1 for i in g}
+        assert not (i0 & i1)
+        assert len(list(s0)) == len(list(s1))
+
 
 class TestTrainFromDataset:
     @pytest.mark.slow

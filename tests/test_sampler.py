@@ -152,3 +152,33 @@ class TestCorrSplit:
             np.asarray(out0['surface_depth'])[both],
             np.asarray(outs['surface_depth'])[both],
             rtol=1e-4, atol=1e-5)
+
+    def test_resolve_cap_overflow_degrades_gracefully(self, rng):
+        """With a deliberately tiny corr_resolve_cap, phase-2 truncation
+        must only DROP convergence on the uncovered stragglers (valid
+        becomes a subset) — never crash, corrupt the body mask, or
+        invent convergence."""
+        import sys
+        sys.path.insert(0, __file__.rsplit('/', 1)[0])
+        from test_renderer import make_inputs, small_config
+        from arah_tpu.render.renderer import render
+
+        cfg = small_config()
+        params, fd, inp, _ = make_inputs(cfg, rng, n_rays=64)
+        key = jax.random.PRNGKey(1)
+        cfg_tiny = cfg._replace(tracer=cfg.tracer._replace(
+            corr_phase1_steps=2, corr_resolve_cap=8))
+        out0 = jax.jit(lambda p, i: render(p, cfg, i, key,
+                                           training=False))(params, inp)
+        outt = jax.jit(lambda p, i: render(p, cfg_tiny, i, key,
+                                           training=False))(params, inp)
+        v0 = int(out0['n_samples_valid'])
+        vt = int(outt['n_samples_valid'])
+        assert vt <= v0 + 2          # no invented convergence
+        # the surface (iso-stage) convergence is untouched by the corr
+        # cap; network_body_mask is corr-derived and legitimately shrinks
+        np.testing.assert_array_equal(
+            np.asarray(out0['surface_converged']),
+            np.asarray(outt['surface_converged']))
+        assert np.isfinite(np.asarray(outt['rgb_values'])).all()
+        assert np.isfinite(np.asarray(outt['weights_sum'])).all()
