@@ -264,8 +264,17 @@ def _march_split(cfg: RayTracerConfig, sdf_fn: Callable,
     cap = min(cfg.march_resolve_cap, n)
     idx = jnp.nonzero(act, size=cap, fill_value=0)[0]
     sub_m = jnp.arange(cap) < jnp.sum(act)
-    c2 = _march(cfg, sdf_fn, frame, smpl, cam_loc[idx], ray_dirs[idx],
-                near[idx], far[idx], sdf_gen=sdf_gen)
+    # RESUME rather than re-march: unlike the Broyden solvers (whose
+    # resume state — J_inv, best-so-far — stays inside the kernel), the
+    # march's whole state is the depth t: a still-unfinished ray at
+    # phase-1 exit has unfinished=True, diverged=False, and the loop
+    # body recomputes x/T from t each iteration, so marching from
+    # near=c1.t with the REMAINING iteration budget continues the exact
+    # single-pass trajectory at 0 redo cost.
+    c2 = _march(cfg._replace(
+        sphere_tracing_iters=cfg.sphere_tracing_iters - p1),
+        sdf_fn, frame, smpl, cam_loc[idx], ray_dirs[idx],
+        c1.t[idx], far[idx], sdf_gen=sdf_gen)
     w1 = lambda a, b: jnp.where(sub_m, a, b)
     return MarchCarry(
         t=c1.t.at[idx].set(w1(c2.t, c1.t[idx])),

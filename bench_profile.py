@@ -97,11 +97,27 @@ def main():
                  and e.get('name') == 'process_name'}
     dev_pids = {pid for pid, n in pid_names.items()
                 if 'TPU' in n or '/device' in n.lower()}
+    # leaf-op lanes only: device tracks also carry CONTAINER rows
+    # ("XLA Modules" module executions, "Steps" run rows like bare
+    # digits) that nest the leaf ops — summing both double-counts the
+    # whole step (observed: "jit_step_fn" + digit rows each ~= one
+    # step). Keep threads explicitly named "XLA Ops*"; fall back to
+    # everything minus obvious containers if the lane name is absent.
+    tid_names = {(e['pid'], e['tid']): e['args'].get('name', '')
+                 for e in events if e.get('ph') == 'M'
+                 and e.get('name') == 'thread_name'}
+    op_lanes = {k for k, n in tid_names.items() if 'XLA Ops' in n}
     per_op = collections.Counter()
     for e in events:
         if e.get('ph') != 'X' or e.get('pid') not in dev_pids:
             continue
         name = e.get('name', '')
+        key = (e.get('pid'), e.get('tid'))
+        if op_lanes:
+            if key not in op_lanes:
+                continue
+        elif name.isdigit() or name.startswith('jit_'):
+            continue
         per_op[name] += e.get('dur', 0)
 
     per_bucket = collections.Counter()
