@@ -124,6 +124,7 @@ def model_config_from_cfg(cfg: dict, low_vram: bool = False):
         # straggler-resolve splits (value-identical; 0 = single-pass)
         corr_phase1_steps=m.get('corr_phase1_steps', 0),
         corr_resolve_cap=m.get('corr_resolve_cap', 4096),
+        use_pallas_knn=m.get('use_pallas_knn', True),
         march_phase1_steps=m.get('march_phase1_steps', 0),
         march_resolve_cap=m.get('march_resolve_cap', 512),
         iso_phase1_steps=m.get('iso_phase1_steps', 0),

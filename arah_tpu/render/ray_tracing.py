@@ -115,6 +115,15 @@ class RayTracerConfig(NamedTuple):
     march_resolve_cap: int = 512
     iso_phase1_steps: int = 0
     iso_resolve_cap: int = 512
+    # transposed-layout fused KNN kernel for the corr-init
+    # nearest-vertex query (ops/pallas/knn_kernel.py:nn_idx_pallas_t):
+    # the chunked-XLA argmin lowers as a serial VPU loop fusion costing
+    # ~21.6 ms/step at 8192 rays (bench_profile round 4); the (k, T)
+    # kernel keeps points on lanes and reduces over sublanes — measured
+    # +2.7% train in-step (36,562 vs 35,612 rays/s interleaved).
+    # Default on; identical nearest verts incl. first-match ties.
+    use_pallas_knn: bool = True
+    pallas_knn_tile: int = 2048
     # fused joint (canonical point, depth) iso-surface Broyden kernel
     # (ops/pallas/iso_kernel.py); needs BOTH skin_dense and sdf_gen.
     # Default ON since round 3b: re-measured IN-STEP after the glue pass,
@@ -625,7 +634,13 @@ def canonicalize_samples(cfg: RayTracerConfig, sdf_fn: Callable,
                  ).reshape(-1, 3)
     flat_mask = sample_mask.reshape(-1)
 
-    idx = nn_idx(pts_world, smpl.verts_posed)
+    if (cfg.use_pallas_knn and _pallas_ok()
+            and pts_world.shape[0] % cfg.pallas_knn_tile == 0):
+        from arah_tpu.ops.pallas.knn_kernel import nn_idx_pallas_t
+        idx = nn_idx_pallas_t(pts_world, smpl.verts_posed,
+                              tile=cfg.pallas_knn_tile)
+    else:
+        idx = nn_idx(pts_world, smpl.verts_posed)
     w = smpl.skinning_weights[idx]
     T0 = jnp.einsum('nj,jab->nab', w, frame.bone_transforms)
     T0_inv = inv_affine(T0)

@@ -57,6 +57,9 @@ def main():
             return cfg._replace(idiff_linearize=False)
         if name == 'idiff_xla':               # disable kernel-J (r4 A/B)
             return cfg._replace(idiff_kernel_jac=False)
+        if name == 'knnkernel':
+            return cfg._replace(tracer=cfg.tracer._replace(
+                use_pallas_knn=True))
         if name.startswith('corrtile'):
             return cfg._replace(tracer=cfg.tracer._replace(
                 pallas_corr_tile=int(name[8:])))

@@ -108,6 +108,7 @@ def main():
                  and e.get('name') == 'thread_name'}
     op_lanes = {k for k, n in tid_names.items() if 'XLA Ops' in n}
     per_op = collections.Counter()
+    op_meta = {}
     for e in events:
         if e.get('ph') != 'X' or e.get('pid') not in dev_pids:
             continue
@@ -119,6 +120,11 @@ def main():
         elif name.isdigit() or name.startswith('jit_'):
             continue
         per_op[name] += e.get('dur', 0)
+        a = e.get('args') or {}
+        src = a.get('source_info') or a.get('source') or ''
+        ln = a.get('long_name') or a.get('tf_op') or ''
+        if name not in op_meta and (src or ln):
+            op_meta[name] = f'{src} {str(ln)[:90]}'.strip()
 
     per_bucket = collections.Counter()
     for name, dur in per_op.items():
@@ -131,7 +137,9 @@ def main():
               f'({100 * dur / max(total, 1):4.1f}%)')
     print(f'--- top {args.top} ops ---')
     for name, dur in per_op.most_common(args.top):
-        print(f'{dur / 1e3 / args.steps:8.2f} ms  {name[:100]}')
+        meta = op_meta.get(name, '')
+        print(f'{dur / 1e3 / args.steps:8.2f} ms  {name[:60]}'
+              f'{"  | " + meta[:120] if meta else ""}')
 
 
 if __name__ == '__main__':

@@ -56,6 +56,21 @@ class TestKnnKernel:
             np.asarray(pts) - np.asarray(verts)[np.asarray(out)], axis=-1)
         np.testing.assert_allclose(d_out, d_ref, atol=1e-5)
 
+    def test_transposed_matches_xla_knn(self, rng):
+        """(k, T) transposed KNN kernel (round 4, `use_pallas_knn`):
+        points on lanes, min/argmin over sublanes."""
+        from arah_tpu.ops.pallas.knn_kernel import nn_idx_pallas_t
+        pts = jnp.asarray(rng.randn(4096, 3).astype(np.float32))
+        verts = jnp.asarray(rng.randn(1500, 3).astype(np.float32))
+        ref = np.asarray(nn_idx(pts, verts))
+        out = np.asarray(nn_idx_pallas_t(pts, verts, tile=1024,
+                                         v_tile=512))
+        d_ref = np.linalg.norm(np.asarray(pts) - np.asarray(verts)[ref],
+                               axis=-1)
+        d_out = np.linalg.norm(np.asarray(pts) - np.asarray(verts)[out],
+                               axis=-1)
+        np.testing.assert_allclose(d_out, d_ref, atol=1e-5)
+
 
 class TestCorrKernel:
     def test_matches_search_canonical_corr(self, rng):
