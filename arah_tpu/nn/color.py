@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from arah_tpu.core.embedder import positional_encoding, embedding_dim
-from arah_tpu.nn.layers import init_wn_linear, wn_linear
+from arah_tpu.nn.layers import init_wn_linear, mm_t, wn_linear
 from arah_tpu.nn.pose_encoder import init_pose_encoder, pose_encoder_apply
 
 
@@ -32,6 +32,15 @@ class ColorConfig(NamedTuple):
     squeeze_out: bool = True
     pose_encoder: str | None = 'latent'  # None|leap|root|latent|hybrid
     rel_joints: bool = True
+    # fold the (N, ~545) input concat into per-component partial matmuls
+    # at layer 0 and the skip layer (column slices of the weight-normed
+    # matrix). Same math up to partial-sum reassociation (unit-pinned to
+    # 1e-5, tests/test_networks.py::TestColorFoldInput). MEASURED
+    # NEGATIVE on v5e (round 4): 35,464 vs 36,415 rays/s at 8192 rays —
+    # the skinny per-component dots (K=3 points/normals/view slices)
+    # cost more MXU passes than the ~7 ms of concat traffic they
+    # eliminate. Default off; kept as the bench_ablate 'colorfold' A/B.
+    fold_input: bool = False
 
 
 def _dims(cfg: ColorConfig):
@@ -120,10 +129,41 @@ def color_apply(params, cfg: ColorConfig, points: jax.Array,
         # bf16 storage halves the HBM traffic of the (N, ~400+) input
         # (reused at the skip) and the (N, 256) hidden chain
         parts = [p.astype(jnp.bfloat16) for p in parts]
+    n = cfg.n_layers + 1
+    if cfg.fold_input:
+        def fold_linear(lyr, comps, extra=None):
+            # wn_linear with the input concat folded into column-sliced
+            # partial matmuls (concat([*comps, extra]) never materializes)
+            v = lyr['v']
+            w = lyr['g'] * v / jnp.linalg.norm(v, axis=1, keepdims=True)
+            out = lyr['b']
+            off = 0
+            for c in comps:
+                k = c.shape[-1]
+                out = out + mm_t(c, w[:, off:off + k], bf16)
+                off += k
+            if extra is not None:
+                out = out + mm_t(extra, w[:, off:], bf16)
+            return out
+
+        x = None
+        for l in range(n):
+            lyr = params['layers'][l]
+            if l == 0:
+                x = fold_linear(lyr, parts)
+            elif l in cfg.skips:
+                x = fold_linear(lyr, parts, extra=x)
+            else:
+                x = wn_linear(lyr, x, bf16)
+            if l < n - 1:
+                x = jax.nn.relu(x)
+                if bf16:
+                    x = x.astype(jnp.bfloat16)
+        return jax.nn.sigmoid(x) if cfg.squeeze_out else x
+
     x0 = jnp.concatenate(parts, axis=-1)
 
     x = x0
-    n = cfg.n_layers + 1
     for l in range(n):
         if l in cfg.skips:
             x = jnp.concatenate([x0, x], axis=-1)

@@ -57,6 +57,8 @@ def main():
             return cfg._replace(idiff_linearize=False)
         if name == 'idiff_xla':               # disable kernel-J (r4 A/B)
             return cfg._replace(idiff_kernel_jac=False)
+        if name == 'colorfold':
+            return cfg._replace(color=cfg.color._replace(fold_input=True))
         if name == 'knnkernel':
             return cfg._replace(tracer=cfg.tracer._replace(
                 use_pallas_knn=True))

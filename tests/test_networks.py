@@ -320,3 +320,37 @@ class TestBf16Storage:
         rgb16 = color_apply(params, cfg, pts, nrm, vd, feat, pose, bf16=True)
         assert rgb16.dtype == jnp.float32
         assert float(jnp.abs(rgb32 - rgb16).max()) < 2e-2
+
+
+class TestColorFoldInput:
+    def test_fold_matches_concat_path(self, rng):
+        """ColorConfig.fold_input: layer-0/skip input concat folded into
+        column-sliced partial matmuls must match the concat path to
+        partial-sum reassociation noise (values and grads)."""
+        import jax
+        import jax.numpy as jnp
+        from arah_tpu.nn.color import ColorConfig, color_apply, init_color
+
+        cfg = ColorConfig(d_feature=384, d_hidden=128, n_layers=4,
+                          skips=(2,), pose_encoder='latent')
+        params = init_color(jax.random.PRNGKey(0), cfg)
+        N = 256
+        pts = jnp.asarray(rng.randn(N, 3).astype(np.float32))
+        nrm = jnp.asarray(rng.randn(N, 3).astype(np.float32))
+        vd = jnp.asarray(rng.randn(N, 3).astype(np.float32))
+        ft = jnp.asarray(rng.randn(N, 256).astype(np.float32))
+        pf = jnp.asarray(rng.randn(128).astype(np.float32))
+
+        def f(p, fold):
+            return color_apply(p, cfg._replace(fold_input=fold),
+                               pts, nrm, vd, ft, pf)
+
+        np.testing.assert_allclose(np.asarray(f(params, False)),
+                                   np.asarray(f(params, True)),
+                                   atol=1e-6)
+        ga = jax.grad(lambda p: jnp.sum(f(p, False) ** 2))(params)
+        gb = jax.grad(lambda p: jnp.sum(f(p, True) ** 2))(params)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+            ga, gb)
