@@ -141,6 +141,7 @@ def model_config_from_cfg(cfg: dict, low_vram: bool = False):
         pallas_shade_tile=m.get('pallas_shade_tile', 512),
         use_pallas_shade_grad=m.get('use_pallas_shade_grad', True),
         pallas_shade_grad_tile=m.get('pallas_shade_grad_tile', 256),
+        shade_resid_bf16=m.get('shade_resid_bf16', False),
         idiff_linearize=m.get('idiff_linearize', True),
         # measured negative on v5e (renderer.py note) — default off
         idiff_kernel_jac=m.get('idiff_kernel_jac', False),

@@ -57,6 +57,9 @@ def _dot(a, b, bf16: bool):
     if bf16:
         a = a.astype(jnp.bfloat16)
         b = b.astype(jnp.bfloat16)
+    else:
+        a = a.astype(jnp.float32)
+        b = b.astype(jnp.float32)
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
@@ -65,12 +68,15 @@ def _dot_nt(a, b, bf16: bool):
     if bf16:
         a = a.astype(jnp.bfloat16)
         b = b.astype(jnp.bfloat16)
+    else:
+        a = a.astype(jnp.float32)
+        b = b.astype(jnp.float32)
     return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
 
 def _shade_bwd_kernel(n_layers: int, use_film: bool, bf16: bool,
-                      x_ref, *refs):
+                      resid_bf16: bool, x_ref, *refs):
     """refs: [W^T x L (in,out)], [b x L], [W x L (out,in)],
     (freqs, phases if film), g_out, g_feat, g_n;
     outs: dx, [dW x L], [db x L (1,out)], (dfreqs, dphases if film)."""
@@ -103,24 +109,30 @@ def _shade_bwd_kernel(n_layers: int, use_film: bool, bf16: bool,
     tile = x_ref.shape[0]
     hidden = w_o[L - 1].shape[1]
     out_dim = w_o[L - 1].shape[0]
+    # resid_bf16: residents (h/C/z/c/g/a/ubar_c lists) are STORED bf16,
+    # halving scoped VMEM so bigger point tiles fit; the running chain
+    # values and every cotangent product stay f32 (bf16 * f32 promotes).
+    st = (lambda v: v.astype(jnp.bfloat16)) if resid_bf16 else (lambda v: v)
 
     # ---- recompute the primal chain (residuals stay in VMEM)
-    h = [x_ref[:]]
+    h_cur = x_ref[:]
+    h = [h_cur]
     C = []          # cos(30 u_i)
     z = []          # pre-FiLM linear outputs (needed for dfreqs)
     c = []          # 30 f_i cos(30 u_i)
     for i in range(L - 1):
-        zi = _dot(h[i], w_t[i][:], bf16) + b[i][:]
+        zi = _dot(h_cur, w_t[i][:], bf16) + b[i][:]
         if use_film:
             f = freqs_ref[i]
             u = f * zi + phases_ref[i]
-            z.append(zi)
+            z.append(st(zi))
         else:
             u = zi
         Ci = jnp.cos(30.0 * u)
-        C.append(Ci)
-        c.append(30.0 * f * Ci if use_film else 30.0 * Ci)
-        h.append(jnp.sin(30.0 * u))
+        C.append(st(Ci))
+        c.append(st(30.0 * f * Ci if use_film else 30.0 * Ci))
+        h_cur = jnp.sin(30.0 * u)
+        h.append(st(h_cur))
     feat = h[L - 1]
 
     # ---- recompute the reverse normal chain, keeping g_{i+1} and a_i
@@ -128,9 +140,10 @@ def _shade_bwd_kernel(n_layers: int, use_film: bool, bf16: bool,
     a_list = [None] * (L - 1)
     gcur = jnp.broadcast_to(w_o[L - 1][0:1, :], (tile, hidden))
     for i in range(L - 2, -1, -1):
-        g_list[i] = gcur
-        a_list[i] = gcur * c[i]
-        gcur = _dot(a_list[i], w_o[i][:], bf16)
+        g_list[i] = st(gcur)
+        ai = gcur * c[i]                       # f32 (promotion)
+        a_list[i] = st(ai)
+        gcur = _dot(ai, w_o[i][:], bf16)
 
     # ---- adjoint of the reverse chain: forward sweep seeded with g_n
     t = gn_ref[:]
@@ -143,9 +156,9 @@ def _shade_bwd_kernel(n_layers: int, use_film: bool, bf16: bool,
             f = freqs_ref[i]
             dfr_ref[i, :] = dfr_ref[i, :] + jnp.sum(30.0 * C[i] * cbar,
                                                     axis=0)
-            ubar_c[i] = -900.0 * f * h[i + 1] * cbar
+            ubar_c[i] = st(-900.0 * f * h[i + 1] * cbar)
         else:
-            ubar_c[i] = -900.0 * h[i + 1] * cbar
+            ubar_c[i] = st(-900.0 * h[i + 1] * cbar)
         t = c[i] * abar
 
     # ---- output-layer cotangents
@@ -177,10 +190,12 @@ def _shade_bwd_kernel(n_layers: int, use_film: bool, bf16: bool,
     dx_ref[:] = hbar
 
 
-@partial(jax.jit, static_argnames=('tile', 'bf16', 'interpret'))
+@partial(jax.jit,
+         static_argnames=('tile', 'bf16', 'resid_bf16', 'interpret'))
 def _shade_bwd_pallas(gen: GeneratedMLP, x: jax.Array,
                       g_out: jax.Array, g_feat: jax.Array, g_n: jax.Array,
-                      tile: int, bf16: bool, interpret: bool):
+                      tile: int, bf16: bool, resid_bf16: bool,
+                      interpret: bool):
     n, d_in = x.shape
     assert n % tile == 0, (n, tile)
     L = len(gen.weights)
@@ -226,7 +241,7 @@ def _shade_bwd_pallas(gen: GeneratedMLP, x: jax.Array,
         out_shape += [jax.ShapeDtypeStruct((L - 1, hidden), jnp.float32)] * 2
 
     return pl.pallas_call(
-        partial(_shade_bwd_kernel, L, use_film, bf16),
+        partial(_shade_bwd_kernel, L, use_film, bf16, resid_bf16),
         grid=(n // tile,),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
@@ -240,7 +255,8 @@ def _on_tpu() -> bool:
 
 
 @lru_cache(maxsize=None)
-def _make_op(tile: int, tile_bwd: int, bf16: bool, interpret: bool):
+def _make_op(tile: int, tile_bwd: int, bf16: bool, resid_bf16: bool,
+             interpret: bool):
     """custom_vjp op (gen, x) -> (out, feat, d(out[:,0])/dx).
 
     Forward = the fused eval kernel; backward = _shade_bwd_kernel.
@@ -253,7 +269,8 @@ def _make_op(tile: int, tile_bwd: int, bf16: bool, interpret: bool):
         n = x.shape[0]
         pad = (-n) % tile
         xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
-        out, feat, grad = _shade_pallas(gen, xp, tile, bf16, interpret)
+        out, feat, grad = _shade_pallas(gen, xp, tile, bf16, resid_bf16,
+                                        interpret)
         return out[:n], feat[:n], grad[:n]
 
     @jax.custom_vjp
@@ -274,7 +291,7 @@ def _make_op(tile: int, tile_bwd: int, bf16: bool, interpret: bool):
             g_feat = jnp.pad(g_feat, ((0, pad), (0, 0)))
             g_n = jnp.pad(g_n, ((0, pad), (0, 0)))
         grads = _shade_bwd_pallas(gen, x, g_out, g_feat, g_n,
-                                  tile_bwd, bf16, interpret)
+                                  tile_bwd, bf16, resid_bf16, interpret)
         L = len(gen.weights)
         dx = grads[0][:n]
         dW = tuple(grads[1:1 + L])
@@ -397,6 +414,7 @@ def siren_shade_grad_xla(gen: GeneratedMLP, x: jax.Array,
 
 def siren_shade_grad(gen: GeneratedMLP, x: jax.Array, tile: int = 1024,
                      tile_bwd: int = 128, bf16: bool = False,
+                     resid_bf16: bool = False,
                      interpret: bool | None = None):
     """Differentiable fused shading: (N, 3) points -> (sdf (N, out_dim),
     features (N, hidden), d(sdf)/dx (N, 3)), with a fused Pallas VJP
@@ -409,4 +427,4 @@ def siren_shade_grad(gen: GeneratedMLP, x: jax.Array, tile: int = 1024,
     """
     if interpret is None:
         interpret = not _on_tpu()
-    return _make_op(tile, tile_bwd, bf16, interpret)(gen, x)
+    return _make_op(tile, tile_bwd, bf16, resid_bf16, interpret)(gen, x)

@@ -34,11 +34,14 @@ def _dot(a, b, bf16: bool):
     if bf16:
         a = a.astype(jnp.bfloat16)
         b = b.astype(jnp.bfloat16)
+    else:
+        a = a.astype(jnp.float32)
+        b = b.astype(jnp.float32)
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
 def _shade_kernel(n_layers: int, use_film: bool, bf16: bool,
-                  x_ref, *refs):
+                  resid_bf16: bool, x_ref, *refs):
     """refs layout: [W0^T..WL^T (in,out)], [b0..bL], [W0..WL (out,in)],
     (freqs, phases if film); outs: sdf_out, feat_out, grad_out.
 
@@ -57,6 +60,10 @@ def _shade_kernel(n_layers: int, use_film: bool, bf16: bool,
     out_ref, feat_ref, grad_ref = refs[idx:idx + 3]
 
     tile = x_ref.shape[0]
+    # resid_bf16: store the resident sine-derivative factors bf16 —
+    # halves scoped VMEM so bigger tiles fit; the forward chain and the
+    # backward products stay f32 (bf16 * f32 promotes to f32).
+    st = (lambda v: v.astype(jnp.bfloat16)) if resid_bf16 else (lambda v: v)
 
     # ---- forward, keeping the sine-derivative factors resident
     h = x_ref[:]
@@ -66,9 +73,9 @@ def _shade_kernel(n_layers: int, use_film: bool, bf16: bool,
         if use_film:
             f = freqs_ref[i]
             z = f * z + phases_ref[i]
-            dfs.append(30.0 * f * jnp.cos(30.0 * z))
+            dfs.append(st(30.0 * f * jnp.cos(30.0 * z)))
         else:
-            dfs.append(30.0 * jnp.cos(30.0 * z))
+            dfs.append(st(30.0 * jnp.cos(30.0 * z)))
         h = jnp.sin(30.0 * z)
     feat_ref[:] = h
     out = _dot(h, w_t[-1][:], bf16) + b_refs[-1][:]
@@ -86,9 +93,10 @@ def _on_tpu() -> bool:
     return jax.devices()[0].platform == 'tpu'
 
 
-@partial(jax.jit, static_argnames=('tile', 'bf16', 'interpret'))
+@partial(jax.jit,
+         static_argnames=('tile', 'bf16', 'resid_bf16', 'interpret'))
 def _shade_pallas(gen: GeneratedMLP, x: jax.Array, tile: int,
-                  bf16: bool, interpret: bool):
+                  bf16: bool, resid_bf16: bool, interpret: bool):
     n, d_in = x.shape
     assert n % tile == 0, (n, tile)
     n_layers = len(gen.weights)
@@ -120,7 +128,7 @@ def _shade_pallas(gen: GeneratedMLP, x: jax.Array, tile: int,
     row = lambda d: pl.BlockSpec((tile, d), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        partial(_shade_kernel, n_layers, use_film, bf16),
+        partial(_shade_kernel, n_layers, use_film, bf16, resid_bf16),
         grid=(n // tile,),
         in_specs=in_specs,
         out_specs=(row(out_dim), row(hidden), row(d_in)),
@@ -134,7 +142,8 @@ def _shade_pallas(gen: GeneratedMLP, x: jax.Array, tile: int,
 
 
 def siren_shade_pallas(gen: GeneratedMLP, x: jax.Array, tile: int = 1024,
-                       bf16: bool = False, interpret: bool | None = None):
+                       bf16: bool = False, resid_bf16: bool = False,
+                       interpret: bool | None = None):
     """(N, 3) points -> (sdf (N, out_dim), features (N, hidden),
     d(sdf)/dx (N, 3)) in one fused kernel. Pads N to a tile multiple."""
     if interpret is None:
@@ -142,7 +151,8 @@ def siren_shade_pallas(gen: GeneratedMLP, x: jax.Array, tile: int = 1024,
     n = x.shape[0]
     pad = (-n) % tile
     xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
-    out, feat, grad = _shade_pallas(gen, xp, tile, bf16, interpret)
+    out, feat, grad = _shade_pallas(gen, xp, tile, bf16, resid_bf16,
+                                    interpret)
     if bf16:
         # match the XLA eval path's dtype contract: under bf16_shading,
         # siren_apply stores inter-layer activations (incl. the returned

@@ -68,6 +68,18 @@ class ModelConfig(NamedTuple):
     # 128 ms/step, PERF.md round 2b) never touches HBM.
     use_pallas_shade_grad: bool = True
     pallas_shade_grad_tile: int = 256   # sweep: 256 >= 128 > 64 (PERF.md)
+    # store the shade kernels' VMEM residents (sine-derivative factors,
+    # recomputed activations, reverse-chain terms) in bf16, halving
+    # scoped VMEM so ~2x bigger point tiles fit the 16 MB limit. The
+    # chain math and all cotangent products stay f32; only the *stored*
+    # residents round (worst grad leaf ~0.5% on the flagship net,
+    # tests/test_pallas.py::test_resid_bf16_film). MEASURED NEGATIVE on
+    # v5e (round 4, interleaved 8192-ray A/B): train 0.99x at the same
+    # 512/256 tiles (convert overhead, no VMEM payoff) and 0.97x with
+    # the unlocked fwd tile 1024 — fewer grid steps pipeline worse, so
+    # the VMEM headroom buys nothing. Default OFF; kept as a tested A/B
+    # (bench_ablate 'resid<fwd>x<bwd>').
+    shade_resid_bf16: bool = False
     # implicit-diff correction Jacobian via ONE batched jax.linearize +
     # 3 tangent passes (plain (N,in)x(in,out) matmul chains) instead of
     # vmap(jacfwd(per-point)) (awkward (N,3,in) generalized dots on TPU;
@@ -250,11 +262,15 @@ def shade_samples(params, cfg: ModelConfig, gen: GeneratedMLP,
         # (dot products reassociated), with a hand-written Pallas VJP for
         # every SIREN leaf and the points (ops/pallas/shade_grad_kernel.py)
         from arah_tpu.ops.pallas.shade_grad_kernel import siren_shade_grad
-        # fwd tile capped at 512: inside the train step the fwd kernel at
-        # tile 1024 exceeds the 16 MB scoped-VMEM limit (25.9 MB, v5e)
+        # fwd tile capped at 512 with f32 residents: inside the train step
+        # the fwd kernel at tile 1024 exceeds the 16 MB scoped-VMEM limit
+        # (25.9 MB, v5e); bf16 residents halve that, so the cap lifts
         out_sdf, feats, grads = siren_shade_grad(
-            gen, flat_p, tile=min(cfg.pallas_shade_tile, 512),
-            tile_bwd=cfg.pallas_shade_grad_tile, bf16=cfg.bf16_shading)
+            gen, flat_p,
+            tile=min(cfg.pallas_shade_tile,
+                     1024 if cfg.shade_resid_bf16 else 512),
+            tile_bwd=cfg.pallas_shade_grad_tile, bf16=cfg.bf16_shading,
+            resid_bf16=cfg.shade_resid_bf16)
         sdf_norm = out_sdf[:, 0]
     elif fused_grad:
         # non-TPU backends: the pure-XLA twin with the same hand-written
@@ -273,7 +289,8 @@ def shade_samples(params, cfg: ModelConfig, gen: GeneratedMLP,
         # backward through pallas_call).
         from arah_tpu.ops.pallas.shade_kernel import siren_shade_pallas
         out_sdf, feats, grads = siren_shade_pallas(
-            gen, flat_p, tile=cfg.pallas_shade_tile, bf16=cfg.bf16_shading)
+            gen, flat_p, tile=cfg.pallas_shade_tile, bf16=cfg.bf16_shading,
+            resid_bf16=cfg.shade_resid_bf16)
         sdf_norm = out_sdf[:, 0]
     elif training or jax.default_backend() == 'cpu':
         # training must stay forward-mode (reverse-over-forward parameter

@@ -101,6 +101,11 @@ def main():
         if name.startswith('shade_grad_'):    # shade_grad_<bwd_tile>
             return cfg._replace(
                 pallas_shade_grad_tile=int(name.rsplit('_', 1)[1]))
+        if name.startswith('resid'):          # resid<fwd_tile>x<bwd_tile>
+            fwd, bwd = name[5:].split('x')
+            return cfg._replace(shade_resid_bf16=True,
+                                pallas_shade_tile=int(fwd),
+                                pallas_shade_grad_tile=int(bwd))
         raise ValueError(name)
 
     names = args.configs.split(',')

@@ -668,6 +668,42 @@ class TestShadeGradKernel:
         x = jnp.asarray(rng.uniform(-1, 1, (130, 3)).astype(np.float32))
         self._check(gen, x, rng, tile=64, tile_bwd=64)
 
+    def test_resid_bf16_film(self, rng):
+        """bf16-stored residents (shade_resid_bf16): forward sdf/feat
+        bit-identical to f32 residents (the primal chain stays f32), the
+        normal and every gradient leaf within ~1% — the residents only
+        round stored copies, not the chain math."""
+        from arah_tpu.ops.pallas.shade_grad_kernel import siren_shade_grad
+        cfg = HypernetConfig(hidden_features=64, num_hidden_layers=3)
+        gen = self._gen(cfg, 4, rng)
+        x = jnp.asarray(rng.uniform(-1, 1, (192, 3)).astype(np.float32))
+        f32 = lambda g, p: siren_shade_grad(g, p, tile=64, tile_bwd=64,
+                                            resid_bf16=False)
+        b16 = lambda g, p: siren_shade_grad(g, p, tile=64, tile_bwd=64,
+                                            resid_bf16=True)
+        o1, f1, n1 = f32(gen, x)
+        o2, f2, n2 = b16(gen, x)
+        np.testing.assert_array_equal(np.asarray(o2), np.asarray(o1))
+        np.testing.assert_array_equal(np.asarray(f2), np.asarray(f1))
+        assert np.abs(np.asarray(n2) - np.asarray(n1)).max() \
+            / max(np.abs(np.asarray(n1)).max(), 1e-3) < 2e-2
+
+        co = jnp.asarray(rng.randn(*o1.shape).astype(np.float32))
+        cf = jnp.asarray(rng.randn(*f1.shape).astype(np.float32))
+        cn = jnp.asarray(rng.randn(*n1.shape).astype(np.float32))
+
+        def loss(fn):
+            return lambda g, p: (
+                jnp.sum(fn(g, p)[0] * co) + jnp.sum(fn(g, p)[1] * cf)
+                + jnp.sum(fn(g, p)[2] * cn))
+
+        gref = jax.grad(loss(f32), argnums=(0, 1))(gen, x)
+        gker = jax.grad(loss(b16), argnums=(0, 1))(gen, x)
+        for a, b in zip(jax.tree.leaves(gref), jax.tree.leaves(gker)):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(np.abs(a).max(), 1e-3)
+            assert np.abs(a - b).max() / scale < 2e-2, (a.shape,)
+
     def test_xla_twin_film(self, rng):
         """The pure-XLA hand-VJP twin (CPU training default) against the
         autodiff path — values and all gradients."""
