@@ -50,29 +50,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from arah_tpu.nn.siren import GeneratedMLP
-from arah_tpu.ops.pallas.shade_kernel import _shade_pallas
-
-
-def _dot(a, b, bf16: bool):
-    if bf16:
-        a = a.astype(jnp.bfloat16)
-        b = b.astype(jnp.bfloat16)
-    else:
-        a = a.astype(jnp.float32)
-        b = b.astype(jnp.float32)
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
-
-
-def _dot_nt(a, b, bf16: bool):
-    """Contract over the tile axis: (tile, m) x (tile, n) -> (m, n)."""
-    if bf16:
-        a = a.astype(jnp.bfloat16)
-        b = b.astype(jnp.bfloat16)
-    else:
-        a = a.astype(jnp.float32)
-        b = b.astype(jnp.float32)
-    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+from arah_tpu.ops.pallas.shade_kernel import _dot, _dot_nt, _shade_pallas
 
 
 def _shade_bwd_kernel(n_layers: int, use_film: bool, bf16: bool,
@@ -154,8 +132,10 @@ def _shade_bwd_kernel(n_layers: int, use_film: bool, bf16: bool,
         cbar = g_list[i] * abar
         if use_film:
             f = freqs_ref[i]
-            dfr_ref[i, :] = dfr_ref[i, :] + jnp.sum(30.0 * C[i] * cbar,
-                                                    axis=0)
+            # f32 scalar: a weak-typed `30.0 * C[i]` would compute (and
+            # round) in bf16 first when resid_bf16 stores C in bf16
+            dfr_ref[i, :] = dfr_ref[i, :] + jnp.sum(
+                jnp.float32(30.0) * C[i] * cbar, axis=0)
             ubar_c[i] = st(-900.0 * f * h[i + 1] * cbar)
         else:
             ubar_c[i] = st(-900.0 * h[i + 1] * cbar)
@@ -176,7 +156,7 @@ def _shade_bwd_kernel(n_layers: int, use_film: bool, bf16: bool,
 
     # ---- primal backward
     for i in range(L - 2, -1, -1):
-        ubar = 30.0 * C[i] * hbar + ubar_c[i]
+        ubar = jnp.float32(30.0) * C[i] * hbar + ubar_c[i]
         if use_film:
             f = freqs_ref[i]
             dfr_ref[i, :] = dfr_ref[i, :] + jnp.sum(z[i] * ubar, axis=0)

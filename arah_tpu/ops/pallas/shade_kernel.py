@@ -31,6 +31,9 @@ from arah_tpu.nn.siren import GeneratedMLP
 
 
 def _dot(a, b, bf16: bool):
+    # single dtype contract for BOTH shade kernels (shade_grad_kernel
+    # imports these): cast-up keeps bf16-stored residents re-entering the
+    # MXU as f32 when bf16=False; accumulation is always f32.
     if bf16:
         a = a.astype(jnp.bfloat16)
         b = b.astype(jnp.bfloat16)
@@ -38,6 +41,18 @@ def _dot(a, b, bf16: bool):
         a = a.astype(jnp.float32)
         b = b.astype(jnp.float32)
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _dot_nt(a, b, bf16: bool):
+    """Contract over the tile axis: (tile, m) x (tile, n) -> (m, n)."""
+    if bf16:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    else:
+        a = a.astype(jnp.float32)
+        b = b.astype(jnp.float32)
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
 
 
 def _shade_kernel(n_layers: int, use_film: bool, bf16: bool,

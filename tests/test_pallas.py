@@ -643,9 +643,11 @@ class TestShadeGradKernel:
         cn = jnp.asarray(rng.randn(*g1.shape).astype(np.float32))
 
         def loss(fn):
-            return lambda g, p: (
-                jnp.sum(fn(g, p)[0] * co) + jnp.sum(fn(g, p)[1] * cf)
-                + jnp.sum(fn(g, p)[2] * cn))
+            def inner(g, p):
+                o, f, n = fn(g, p)   # one fused-op call per evaluation
+                return (jnp.sum(o * co) + jnp.sum(f * cf)
+                        + jnp.sum(n * cn))
+            return inner
 
         gref = jax.grad(loss(xla_path), argnums=(0, 1))(gen, x)
         gker = jax.grad(loss(ker_path), argnums=(0, 1))(gen, x)
@@ -693,9 +695,11 @@ class TestShadeGradKernel:
         cn = jnp.asarray(rng.randn(*n1.shape).astype(np.float32))
 
         def loss(fn):
-            return lambda g, p: (
-                jnp.sum(fn(g, p)[0] * co) + jnp.sum(fn(g, p)[1] * cf)
-                + jnp.sum(fn(g, p)[2] * cn))
+            def inner(g, p):
+                o, f, n = fn(g, p)   # one fused-op call per evaluation
+                return (jnp.sum(o * co) + jnp.sum(f * cf)
+                        + jnp.sum(n * cn))
+            return inner
 
         gref = jax.grad(loss(f32), argnums=(0, 1))(gen, x)
         gker = jax.grad(loss(b16), argnums=(0, 1))(gen, x)
