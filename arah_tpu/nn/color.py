@@ -19,6 +19,17 @@ from arah_tpu.nn.layers import init_wn_linear, mm_t, wn_linear
 from arah_tpu.nn.pose_encoder import init_pose_encoder, pose_encoder_apply
 
 
+def _color_pallas_ok() -> bool:
+    """Fused-color-kernel dispatch gate (same contract as
+    `render/ray_tracing._pallas_ok`): TPU by default, ARAH_FORCE_PALLAS=1
+    drives interpret mode on CPU tests, ARAH_DISABLE_PALLAS=1 escapes."""
+    import os
+    if os.environ.get('ARAH_DISABLE_PALLAS') == '1':
+        return False
+    return (jax.default_backend() == 'tpu'
+            or os.environ.get('ARAH_FORCE_PALLAS') == '1')
+
+
 class ColorConfig(NamedTuple):
     d_feature: int = 384          # 256 sdf feature + pose feature width
     mode: str = 'idr'             # idr | no_view_dir | no_normal
@@ -41,6 +52,15 @@ class ColorConfig(NamedTuple):
     # cost more MXU passes than the ~7 ms of concat traffic they
     # eliminate. Default off; kept as the bench_ablate 'colorfold' A/B.
     fold_input: bool = False
+    # fused Pallas fwd+bwd pair (ops/pallas/color_kernel.py): the whole
+    # MLP runs per point-tile in VMEM — the (N, ~545) input block, its
+    # skip re-injection and every inter-layer activation (XLA backward
+    # residuals) never touch HBM. Unlike fold_input, the per-component
+    # partial dots here read VMEM, so the split costs nothing. TPU-only
+    # dispatch (color_apply); ARAH_DISABLE_PALLAS=1 escapes to XLA.
+    use_pallas: bool = True
+    pallas_tile: int = 512
+    pallas_tile_bwd: int = 256
 
 
 def _dims(cfg: ColorConfig):
@@ -107,6 +127,34 @@ def color_apply(params, cfg: ColorConfig, points: jax.Array,
     if cfg.multires_view > 0:
         view_dirs = positional_encoding(view_dirs, cfg.multires_view)
 
+    if cfg.mode == 'idr':
+        narrow = [points, view_dirs, normals]
+    elif cfg.mode == 'no_view_dir':
+        narrow = [points, normals]
+    elif cfg.mode == 'no_normal':
+        narrow = [points, view_dirs]
+    else:
+        raise ValueError(cfg.mode)
+
+    if cfg.use_pallas and _color_pallas_ok():
+        # fused Pallas fwd+bwd pair (ops/pallas/color_kernel.py): the
+        # x0 = [narrow..., sdf_feature, pose] concat below is reproduced
+        # per tile in VMEM (the pose row broadcasts in-register);
+        # weight-norm normalization stays here in XLA (differentiable,
+        # tiny — dW cotangents flow back onto g and v)
+        from arah_tpu.ops.pallas.color_kernel import color_mlp_fused
+        weights, biases = [], []
+        for lyr in params['layers']:
+            v = lyr['v']
+            weights.append(lyr['g'] * v
+                           / jnp.linalg.norm(v, axis=1, keepdims=True))
+            biases.append(lyr['b'])
+        small = jnp.concatenate(narrow, axis=-1)
+        return color_mlp_fused(
+            weights, biases, small, sdf_feature, pose_feature,
+            skips=tuple(cfg.skips), squeeze_out=cfg.squeeze_out,
+            bf16=bf16, tile=cfg.pallas_tile, tile_bwd=cfg.pallas_tile_bwd)
+
     feats = sdf_feature
     if pose_feature is not None:
         feats = jnp.concatenate([
@@ -115,14 +163,7 @@ def color_apply(params, cfg: ColorConfig, points: jax.Array,
                              feats.shape[:-1] + pose_feature.shape[-1:])],
             axis=-1)
 
-    if cfg.mode == 'idr':
-        parts = [points, view_dirs, normals, feats]
-    elif cfg.mode == 'no_view_dir':
-        parts = [points, normals, feats]
-    elif cfg.mode == 'no_normal':
-        parts = [points, view_dirs, feats]
-    else:
-        raise ValueError(cfg.mode)
+    parts = narrow + [feats]
     if bf16:
         # store the input block and inter-layer activations in bf16: the
         # matmul operands are rounded to bf16 either way (layers.mm_t);

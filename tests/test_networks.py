@@ -354,3 +354,90 @@ class TestColorFoldInput:
             lambda a, b: np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
             ga, gb)
+
+
+class TestColorFused:
+    """Fused Pallas color pair (ops/pallas/color_kernel.py) vs the plain
+    XLA concat path: values and every gradient leaf (weight-norm g/v/b
+    plus all tensor inputs), driven through color_apply's dispatch gate
+    (ARAH_FORCE_PALLAS -> interpret mode on CPU). n=196 with tile 64
+    exercises the padding path in both kernels."""
+
+    def _check(self, cfg, rng, monkeypatch, n=196, d_sdf=64, bf16=False,
+               atol=2e-5, gtol=1e-4, gatol=2e-5):
+        monkeypatch.setenv('ARAH_FORCE_PALLAS', '1')
+        params = init_color(jax.random.PRNGKey(0), cfg)
+        pts = jnp.asarray(rng.randn(n, 3).astype(np.float32))
+        nrm = jnp.asarray(rng.randn(n, 3).astype(np.float32))
+        vd = jnp.asarray(rng.randn(n, 3).astype(np.float32))
+        ft = jnp.asarray(rng.randn(n, d_sdf).astype(np.float32))
+        P = cfg.d_feature - d_sdf
+        pf = jnp.asarray(rng.randn(1, P).astype(np.float32)) if P else None
+        cot = jnp.asarray(rng.randn(n, cfg.d_out).astype(np.float32))
+
+        def f(p, a, use):
+            c = cfg._replace(use_pallas=use, pallas_tile=64,
+                             pallas_tile_bwd=64)
+            return color_apply(p, c, a[0], a[1], a[2], a[3], a[4],
+                               bf16=bf16)
+
+        args = (pts, nrm, vd, ft, pf)
+        ref = f(params, args, False)
+        out = f(params, args, True)
+        assert out.shape == (n, cfg.d_out)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=atol)
+
+        loss = lambda p, a, use: jnp.sum(f(p, a, use) * cot)  # noqa: E731
+        gref = jax.grad(loss, argnums=(0, 1))(params, args, False)
+        gker = jax.grad(loss, argnums=(0, 1))(params, args, True)
+        for a, b in zip(jax.tree.leaves(gref), jax.tree.leaves(gker)):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(np.abs(a).max(), 1e-3)
+            assert np.abs(a - b).max() / scale < gtol \
+                or np.abs(a - b).max() < gatol, (a.shape,)
+
+    def test_idr_latent_skip(self, rng, monkeypatch):
+        cfg = ColorConfig(d_feature=64 + 128, d_hidden=128, n_layers=4,
+                          skips=(2,), pose_encoder='latent')
+        self._check(cfg, rng, monkeypatch)
+
+    def test_no_view_dir_no_pose(self, rng, monkeypatch):
+        # d_in = points + normals only; no view-dir PE in this mode
+        cfg = ColorConfig(d_feature=64, d_hidden=64, n_layers=3, d_in=6,
+                          multires_view=0, skips=(2,), pose_encoder=None,
+                          mode='no_view_dir')
+        self._check(cfg, rng, monkeypatch)
+
+    def test_no_normal_multires_no_squeeze(self, rng, monkeypatch):
+        # d_in = points + view dirs; PE on both (multires 2 / view 4)
+        cfg = ColorConfig(d_feature=64 + 12, d_hidden=64, n_layers=3,
+                          d_in=6, skips=(2,), pose_encoder='root',
+                          mode='no_normal', multires=2, squeeze_out=False)
+        self._check(cfg, rng, monkeypatch, gtol=2e-4)
+
+    def test_no_skip(self, rng, monkeypatch):
+        cfg = ColorConfig(d_feature=64 + 128, d_hidden=64, n_layers=3,
+                          skips=(), pose_encoder='latent')
+        self._check(cfg, rng, monkeypatch)
+
+    def test_bf16(self, rng, monkeypatch):
+        """bf16 operands / f32 accumulation: the fused kernel rounds one
+        storage step FEWER than the XLA bf16 path (activations stay f32
+        in VMEM), so compare both against the f32 reference."""
+        monkeypatch.setenv('ARAH_FORCE_PALLAS', '1')
+        cfg = ColorConfig(d_feature=64 + 128, d_hidden=128, n_layers=4,
+                          skips=(2,), pose_encoder='latent',
+                          pallas_tile=64, pallas_tile_bwd=64)
+        params = init_color(jax.random.PRNGKey(0), cfg)
+        n = 128
+        pts = jnp.asarray(rng.randn(n, 3).astype(np.float32))
+        nrm = jnp.asarray(rng.randn(n, 3).astype(np.float32))
+        vd = jnp.asarray(rng.randn(n, 3).astype(np.float32))
+        ft = jnp.asarray(rng.randn(n, 64).astype(np.float32))
+        pf = jnp.asarray(rng.randn(1, 128).astype(np.float32))
+        f32 = color_apply(params, cfg._replace(use_pallas=False),
+                          pts, nrm, vd, ft, pf)
+        fused16 = color_apply(params, cfg, pts, nrm, vd, ft, pf, bf16=True)
+        assert fused16.dtype == jnp.float32
+        assert float(jnp.abs(f32 - fused16).max()) < 2e-2
