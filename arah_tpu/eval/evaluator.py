@@ -62,10 +62,33 @@ def _render_eval_chunk_sharded(params, cfg: ModelConfig, inp: RenderInputs,
         check_vma=False)(params, inp, key)
 
 
+# candidate chunk -> measured eval rays/s on v5e (PERF.md round-4 chunk
+# sweep: 68.0k / 74.4k / 77.6k). Only the RATIOS matter: the auto-chunk
+# minimizes estimated wall time ceil(n/c)*c / rate(c), so bigger chunks
+# win on big frames while small fixture frames avoid 3-4x padding.
+_AUTO_CHUNKS = ((8192, 68.0), (16384, 74.4), (32768, 77.6))
+
+
+def pick_eval_chunk(n_rays: int) -> int:
+    """Pad-aware auto-chunk (VERDICT r4 #7): choose the chunk from the
+    frame's box-ray count by minimizing padded work weighted by the
+    measured per-chunk throughput (32768 for full 512^2 frames ~260k
+    box rays, 16384/8192 for fixture-sized frames). Candidates are
+    fixed so compiled executables are reused across frames."""
+    best, best_t = None, None
+    for c, rate in _AUTO_CHUNKS:
+        t = -(-n_rays // c) * c / rate
+        if best_t is None or t < best_t:
+            best, best_t = c, t
+    return best
+
+
 def render_frame_rays(params, cfg: ModelConfig, fd, item, latent,
-                      chunk: int = 16384, key=None, mesh=None):
+                      chunk: int | None = None, key=None, mesh=None):
     """Render every sampled ray of an eval item; returns (rgb (N, 3),
     weights (N,), depth (N,), converged (N,)).
+
+    chunk=None picks the pad-aware auto-chunk (`pick_eval_chunk`).
 
     With a `mesh`, each chunk's rays are sharded over the `data` axis
     (multi-chip eval; params/frame state replicated) — the arah_tpu
@@ -86,6 +109,11 @@ def render_frame_rays(params, cfg: ModelConfig, fd, item, latent,
     rays = np.asarray(item['inputs.ray_dirs'])
     bounds = np.asarray(item['inputs.body_bounds_intersections'])
     n = rays.shape[0]
+    if chunk is None:
+        chunk = pick_eval_chunk(n)
+        if mesh is not None:
+            # sharded chunks must split evenly over the data axis
+            chunk = max(chunk - chunk % mesh.size, mesh.size)
 
     pose_cond_extra = {}
     geo_latent = None
@@ -166,7 +194,7 @@ def normals_from_depth(points_cam, image_mask):
 
 
 def evaluate_frame(params, cfg: ModelConfig, item, latent=None,
-                   chunk: int = 16384, lpips_fn=None, mesh=None):
+                   chunk: int | None = None, lpips_fn=None, mesh=None):
     """Validation-style metrics for one eval item. Returns dict with
     psnr/ssim/lpips + rendered images. With `mesh`, ray chunks are
     sharded over its `data` axis (multi-chip eval)."""

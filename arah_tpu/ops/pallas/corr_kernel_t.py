@@ -414,3 +414,115 @@ def skinning_dense_params(params, cfg):
         wts.append(w)
         bs.append(lyr['b'])
     return tuple(wts), tuple(bs)
+
+
+def _make_jac_kernel(n_layers, softmax_scale):
+    """One-shot exact d fwd_skin / d x_hat at given points — the
+    `want_jac` tangent chains WITHOUT the Broyden loop around them.
+
+    Rationale (round-4 A/B, PERF.md): emitting J from inside the corr
+    solve is a measured negative — the solver kernel is VPU-bound and
+    the tangent chains triple its non-overlapped work PER ITERATION.
+    Standing alone the chains run ONCE over the (packed) shading points,
+    entirely in VMEM, replacing the three XLA tangent passes of
+    `render/renderer.py:shade_samples` (cfg.idiff_standalone_jac)."""
+    def kernel(x_ref, *refs):
+        w_refs = refs[:2 * n_layers:2]
+        b_refs = refs[1:2 * n_layers:2]
+        bones_ref = refs[2 * n_layers]
+        frame_ref = refs[2 * n_layers + 1]
+        jac_ref = refs[2 * n_layers + 2]
+
+        coord_min = frame_ref[0, 0]
+        coord_max = frame_ref[0, 1]
+        center = frame_ref[0, 2:5].reshape(3, 1)
+        ext = coord_max - coord_min
+        scale = 2.0 / (ext * 1.1)
+        offset = (-center - coord_min + 0.05 * ext) * scale - 1.0
+
+        bones_t = bones_ref[:]               # (16, 24)
+        x = x_ref[:]                         # (3, T)
+        T = x.shape[1]
+
+        def fwd(xp):
+            xn = xp * scale + offset
+            h = xn
+            for i in range(n_layers - 1):
+                h = _softplus100(
+                    jnp.dot(w_refs[i][:], h,
+                            preferred_element_type=jnp.float32)
+                    + b_refs[i][:])
+            logits = jnp.dot(w_refs[n_layers - 1][:], h,
+                             preferred_element_type=jnp.float32) \
+                + b_refs[-1][:]
+            w24 = _hier_softmax_rows(logits * softmax_scale)
+            T16 = jnp.dot(bones_t, w24,
+                          preferred_element_type=jnp.float32)
+            return jnp.concatenate([
+                T16[0:1] * xp[0:1] + T16[1:2] * xp[1:2]
+                + T16[2:3] * xp[2:3] + T16[3:4],
+                T16[4:5] * xp[0:1] + T16[5:6] * xp[1:2]
+                + T16[6:7] * xp[2:3] + T16[7:8],
+                T16[8:9] * xp[0:1] + T16[9:10] * xp[1:2]
+                + T16[10:11] * xp[2:3] + T16[11:12]], axis=0)
+
+        # one linearize: the primal chain runs once, each basis tangent
+        # is a cheap forward re-sweep of the stored linearization
+        _, f_lin = jax.linearize(fwd, x)
+        cols = []
+        for k in range(3):
+            t_in = jnp.concatenate(
+                [jnp.ones((1, T)) if i == k else jnp.zeros((1, T))
+                 for i in range(3)], axis=0)
+            cols.append(f_lin(t_in))         # (3, T)
+        jac_ref[:] = jnp.concatenate(cols, axis=0)   # rows k*3+i
+    return kernel
+
+
+@partial(jax.jit, static_argnames=('tile', 'softmax_scale', 'interpret'))
+def skinning_jac_pallas(x_hat, skin_weights, skin_biases, bones16,
+                        coord_min, coord_max, center,
+                        tile: int = 2048, softmax_scale: float = 20.0,
+                        interpret: bool | None = None):
+    """Exact forward-skinning Jacobian d xb / d x_hat at (N, 3) metric
+    canonical points, as one fused (k, T)-layout Pallas pass. Pads N to
+    a tile multiple. Non-differentiable (callers stop-grad the J anyway,
+    `renderer.py:shade_samples`)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    n = x_hat.shape[0]
+    pad = (-n) % tile
+    xp = jnp.pad(x_hat, ((0, pad), (0, 0))) if pad else x_hat
+    np_ = n + pad
+    n_layers = len(skin_weights)
+    frame_vec = jnp.concatenate(
+        [jnp.reshape(coord_min, (1,)), jnp.reshape(coord_max, (1,)),
+         jnp.reshape(center, (3,)), jnp.zeros((3,))]).reshape(1, 8)
+
+    operands = [xp.T]
+    in_specs = [pl.BlockSpec((3, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)]
+    for w, b in zip(skin_weights, skin_biases):
+        b2 = b.reshape(-1, 1)
+        operands += [w, b2]
+        in_specs += [
+            pl.BlockSpec(w.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(b2.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)]
+    operands += [bones16.T, frame_vec]
+    in_specs += [
+        pl.BlockSpec((16, 24), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(frame_vec.shape, lambda i: (0, 0),
+                     memory_space=pltpu.VMEM)]
+    out = pl.pallas_call(
+        _make_jac_kernel(n_layers, softmax_scale),
+        grid=(np_ // tile,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((9, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((9, np_), jnp.float32),
+        interpret=interpret,
+    )(*operands)
+    # (9, T) rows k*3+i = d xb_i/d x_k -> (N, 3, 3) as [i, k]
+    return out.T[:n].reshape(n, 3, 3).transpose(0, 2, 1)

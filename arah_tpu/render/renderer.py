@@ -80,6 +80,22 @@ class ModelConfig(NamedTuple):
     # the VMEM headroom buys nothing. Default OFF; kept as a tested A/B
     # (bench_ablate 'resid<fwd>x<bwd>').
     shade_resid_bf16: bool = False
+    # shade only the valid samples: the tracer's converge_mask is known
+    # before shading, so the implicit-diff correction, the fused shade
+    # pair and the color MLP run on a left-packed (K,) subset instead of
+    # every dense (ray, sample) slot (measured valid fraction ~0.87 on
+    # the flagship bench scene — the reference boolean-indexes the same
+    # set, `implicit_differentiable_renderer.py:284-296`). K is the
+    # static budget ceil(frac * N) rounded up to shade_pack_align; if a
+    # batch ever has more valid samples than K the tail (flat ray-major
+    # order) is dropped — density 0, same as an unconverged sample —
+    # with the overflow count surfaced as `n_samples_overflow` telemetry
+    # (graceful-degradation contract like the solver resolve caps;
+    # tests/test_renderer.py::TestShadePack). frac 1.0 packs without
+    # any drop risk (still aligns kernel tiles); False = dense slots.
+    shade_pack: bool = True
+    shade_pack_frac: float = 0.95
+    shade_pack_align: int = 512
     # implicit-diff correction Jacobian via ONE batched jax.linearize +
     # 3 tangent passes (plain (N,in)x(in,out) matmul chains) instead of
     # vmap(jacfwd(per-point)) (awkward (N,3,in) generalized dots on TPU;
@@ -99,6 +115,15 @@ class ModelConfig(NamedTuple):
     # plain-matmul XLA tangent passes they replace. Default OFF; kept
     # as a tested A/B (bench_ablate 'idiff_xla' vs default).
     idiff_kernel_jac: bool = False
+    # STANDALONE one-shot Pallas Jacobian at the (packed) shading points
+    # (corr_kernel_t.skinning_jac_pallas): the same exact J as the
+    # linearize path, computed once in VMEM OUTSIDE the solver — the XLA
+    # graph keeps only the differentiable primal skinning pass. Dodges
+    # the idiff_kernel_jac per-iteration overlap problem (ROADMAP #4).
+    # Requires a kernel-compatible skinning net (skinning_dense_params);
+    # falls back to idiff_linearize otherwise. Equality pinned by
+    # tests/test_renderer.py::TestIdiffStandaloneJac.
+    idiff_standalone_jac: bool = True
 
 
 def make_skin_fn(params, cfg: ModelConfig, stop_grad: bool = False):
@@ -193,6 +218,35 @@ def shade_samples(params, cfg: ModelConfig, gen: GeneratedMLP,
     else:
         in_vd, in_vd_orig = -vd, -vd_orig
 
+    # --- valid-sample packing (see ModelConfig.shade_pack): everything
+    # from the implicit-diff correction through the color MLP runs on
+    # the left-packed valid subset; per-point math is row-independent,
+    # so packed values are bit-identical to the dense path's.
+    N_dense = n_rays * S
+    align = max(int(cfg.shade_pack_align), 1)
+    K = min(N_dense,
+            -(-int(cfg.shade_pack_frac * N_dense) // align) * align)
+    packed = bool(cfg.shade_pack)
+    n_overflow = jnp.int32(0)
+    if packed:
+        mask_flat = converge_mask.reshape(-1)
+        n_valid = jnp.sum(mask_flat.astype(jnp.int32))
+        n_overflow = jnp.maximum(n_valid - K, 0)
+        # first K valid flat indices (stable ray-major order); pad slots
+        # get N_dense -> clamped garbage rows on gather, dropped on
+        # scatter (`mode='drop'`)
+        pack_idx = jnp.nonzero(mask_flat, size=K,
+                               fill_value=N_dense)[0]
+        gather_idx = jnp.minimum(pack_idx, N_dense - 1)
+        take = lambda a: jnp.take(a, gather_idx, axis=0)  # noqa: E731
+        flat_p = take(flat_p)
+        in_vd = take(in_vd)
+        in_vd_orig = take(in_vd_orig)
+        if jac is not None:
+            jac = take(jac.reshape(-1, 3, 3))
+        if not cfg.cano_view_dirs:
+            flat_T = take(flat_T)
+
     # Implicit-differentiation correction: values unchanged, but gradients
     # w.r.t. skinning-net params flow as -J^-1 df/dtheta.
     if training and cfg.train_skinning_net:
@@ -204,15 +258,41 @@ def shade_samples(params, cfg: ModelConfig, gen: GeneratedMLP,
             x_bar, _ = forward_skinning(skin_fn, frame, x_hat)
             return x_bar
 
-        if jac is not None:
-            # corr-kernel-provided exact metric-space Jacobian at the
-            # roots (SamplerResult.jac; stop-gradded by the tracer).
+        jac_metric = jac
+        import os as _os
+        from arah_tpu.render.ray_tracing import _pallas_ok
+        if (jac_metric is None and cfg.idiff_standalone_jac
+                and _pallas_ok()):
+            # standalone one-shot Pallas Jacobian at the (packed)
+            # shading points (ModelConfig.idiff_standalone_jac): exact
+            # J entirely in VMEM, no XLA tangent passes. Falls through
+            # to the linearize path for kernel-incompatible skinning
+            # nets. Inputs are stop-gradded: J is stop-gradded below
+            # either way, so the kernel needs no VJP rule.
+            from arah_tpu.ops.pallas.corr_kernel_t import (
+                skinning_dense_params, skinning_jac_pallas)
+            sd = skinning_dense_params(
+                jax.lax.stop_gradient(params['skinning']), cfg.skinning)
+            if sd is not None:
+                x_hat_ng = jax.lax.stop_gradient(
+                    unnormalize_canonical_points(
+                        flat_p, frame.coord_min, frame.coord_max,
+                        frame.center))
+                jac_metric = skinning_jac_pallas(
+                    x_hat_ng, sd[0], sd[1],
+                    frame.bone_transforms.reshape(24, 16),
+                    frame.coord_min, frame.coord_max, frame.center,
+                    softmax_scale=cfg.skinning.softmax_scale)
+
+        if jac_metric is not None:
+            # exact metric-space Jacobian at the points (corr-kernel
+            # want_jac or the standalone kernel above; stop-gradded).
             # fwd_batched = fwd_skin o unnormalize, and unnormalize has
             # the constant (per-axis) scale s_u = 1.1*(cmax-cmin)/2, so
             # J_norm columns are the metric columns scaled by s_u — the
             # XLA graph then needs only the differentiable PRIMAL pass.
             s_u = 1.1 * (frame.coord_max - frame.coord_min) / 2.0
-            J = jac.reshape(-1, 3, 3) * s_u
+            J = jac_metric.reshape(-1, 3, 3) * s_u
             f = fwd_batched(flat_p)
         elif cfg.idiff_linearize:
             # ONE batched linearize: the primal skinning pass runs once
@@ -329,6 +409,15 @@ def shade_samples(params, cfg: ModelConfig, gen: GeneratedMLP,
     beta = deviation_value(params['deviation'])
     density = volsdf_density(sdf_metric_vals, beta)
 
+    if packed:
+        # scatter the packed results back to the dense slots (pad rows
+        # carry index N_dense and are dropped; overflow-dropped valid
+        # slots keep density 0 = no contribution). The scatter's
+        # backward is the gather of the compositing cotangents.
+        rgb = jnp.zeros((N_dense, 3), rgb.dtype) \
+            .at[pack_idx].set(rgb, mode='drop')
+        density = jnp.zeros((N_dense,), density.dtype) \
+            .at[pack_idx].set(density, mode='drop')
     rgb = rgb.reshape(n_rays, S, 3)
     density = density.reshape(n_rays, S)
 
@@ -340,7 +429,9 @@ def shade_samples(params, cfg: ModelConfig, gen: GeneratedMLP,
     out = composite_masked(rgb, density, z_vals, converge_mask,
                            cfg.tracer.n_steps,
                            render_last_pt=cfg.render_last_pt)
-    return out.rgb, out.weights_sum
+    aux = {'n_samples_shaded': jnp.int32(K if packed else N_dense),
+           'n_samples_overflow': n_overflow}
+    return out.rgb, out.weights_sum, aux
 
 
 def render(params, cfg: ModelConfig, inp: RenderInputs, key,
@@ -401,7 +492,7 @@ def render(params, cfg: ModelConfig, inp: RenderInputs, key,
                       'Jtrs_posed': inp.Jtrs_posed})
     pose_feature = color_pose_feature(params['color'], cfg.color, pose_cond)
 
-    rgb_values, weights_sum = shade_samples(
+    rgb_values, weights_sum, shade_aux = shade_samples(
         params, cfg, gen, inp.frame, samples.points_norm, samples.z_vals,
         samples.transforms, samples.converge_mask, ray_dirs, inp.ray_dirs,
         pose_feature, training, ray_augm=ray_augm, jac=samples.jac)
@@ -410,12 +501,16 @@ def render(params, cfg: ModelConfig, inp: RenderInputs, key,
         'rgb_values': rgb_values,                      # (N, 3)
         'weights_sum': weights_sum,                    # (N,)
         'network_body_mask': jnp.any(samples.converge_mask, axis=-1),
-        # shaded-work telemetry (no silent caps): the dense design shades
-        # every (ray, sample) slot; the reference boolean-indexes the
-        # valid set (`implicit_differentiable_renderer.py:284-296`).
-        # valid / dense quantifies that trade per step.
+        # shaded-work telemetry (no silent caps): with shade_pack the
+        # shading stages run on the packed K-budget subset (shaded);
+        # overflow counts valid samples dropped by the static budget —
+        # 0 in every measured configuration, see ModelConfig.shade_pack.
+        # The reference boolean-indexes the same valid set
+        # (`implicit_differentiable_renderer.py:284-296`).
         'n_samples_valid': jnp.sum(samples.converge_mask),
         'n_samples_dense': jnp.int32(samples.converge_mask.size),
+        'n_samples_shaded': shade_aux['n_samples_shaded'],
+        'n_samples_overflow': shade_aux['n_samples_overflow'],
         'surface_depth': trace.surface.start_dis,      # (N,)
         'surface_converged': ~trace.surface.unconverged,
         'surface_points_norm': trace.surface.points_norm,

@@ -59,6 +59,18 @@ def main():
             return cfg._replace(idiff_kernel_jac=False)
         if name == 'colorfold':
             return cfg._replace(color=cfg.color._replace(fold_input=True))
+        if name == 'nocolorkernel':           # r5: fused color pair off
+            return cfg._replace(color=cfg.color._replace(use_pallas=False))
+        if name.startswith('colortile'):      # colortile<fwd>x<bwd>
+            fwd, bwd = name[9:].split('x')
+            return cfg._replace(color=cfg.color._replace(
+                pallas_tile=int(fwd), pallas_tile_bwd=int(bwd)))
+        if name == 'nopack':                  # r5: dense-slot shading
+            return cfg._replace(shade_pack=False)
+        if name.startswith('packfrac'):       # packfrac<percent>
+            return cfg._replace(shade_pack_frac=int(name[8:]) / 100.0)
+        if name == 'nostandjac':              # r5: XLA linearize J path
+            return cfg._replace(idiff_standalone_jac=False)
         if name == 'knnkernel':
             return cfg._replace(tracer=cfg.tracer._replace(
                 use_pallas_knn=True))

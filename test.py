@@ -30,7 +30,9 @@ def main():
     p.add_argument('--end-frame', type=int, default=-1)
     p.add_argument('--test-views', default='1')
     p.add_argument('--low-vram', action='store_true')
-    p.add_argument('--chunk', type=int, default=4096)
+    p.add_argument('--chunk', type=int, default=None,
+                   help='eval ray chunk; default: pad-aware auto-chunk '
+                   '(evaluator.pick_eval_chunk)')
     p.add_argument('--mesh-res', type=int, default=256)
     p.add_argument('--devices', type=int, default=0,
                    help='shard render ray chunks over the first N devices '
@@ -63,7 +65,7 @@ def main():
 
     cfg = load_config(args.config, 'configs/default.yaml')
     if args.low_vram:
-        args.chunk = min(args.chunk, 2048)
+        args.chunk = min(args.chunk or 4096, 2048)
     model_cfg = model_config_from_cfg(cfg)
 
     pose_dir = args.pose_dir or cfg['data'].get('pose_dir')
@@ -93,7 +95,8 @@ def main():
     if args.devices > 1:
         from arah_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(args.devices)
-        args.chunk -= args.chunk % args.devices
+        if args.chunk is not None:
+            args.chunk -= args.chunk % args.devices
         print(f'sharded render over {args.devices} devices')
 
     spiral = None

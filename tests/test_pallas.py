@@ -785,3 +785,46 @@ class TestShadeGradKernel:
             a, b = np.asarray(a), np.asarray(b)
             scale = max(np.abs(a).max(), 1e-3)
             assert np.abs(a - b).max() / scale < 5e-4, (a.shape,)
+
+
+class TestStandaloneJacKernel:
+    def test_matches_forward_skinning_jac(self, rng):
+        """skinning_jac_pallas (one-shot, no solver loop) must equal
+        forward_skinning_jac at arbitrary points — it feeds the
+        renderer's implicit-diff correction (idiff_standalone_jac).
+        n=300 with tile 128 exercises the padding path."""
+        from arah_tpu.nn.skinning import SkinningConfig, init_skinning
+        from arah_tpu.render.ray_tracing import CanonicalFrame
+        from arah_tpu.solver.root_find import forward_skinning_jac
+        from arah_tpu.ops.pallas.corr_kernel_t import skinning_jac_pallas
+        from arah_tpu.core.smpl import batch_rodrigues
+        from arah_tpu.render.renderer import make_skin_fn
+
+        cfg = SkinningConfig(d_hidden=64, n_layers=3)
+        params = init_skinning(jax.random.PRNGKey(0), cfg)
+        aa = (rng.randn(24, 3) * 0.15).astype(np.float32)
+        R = np.asarray(batch_rodrigues(jnp.asarray(aa)))
+        tfs = np.tile(np.eye(4, dtype=np.float32), (24, 1, 1))
+        tfs[:, :3, :3] = R
+        tfs[:, :3, 3] = (rng.randn(24, 3) * 0.05).astype(np.float32)
+        frame = CanonicalFrame(
+            bone_transforms=jnp.asarray(tfs), trans=jnp.zeros(3),
+            coord_min=jnp.float32(-1.1), coord_max=jnp.float32(1.0),
+            center=jnp.asarray(rng.randn(3).astype(np.float32) * 0.05))
+        skin_fn = make_skin_fn({'skinning': params},
+                               type('C', (), {'skinning': cfg}))
+        n = 300
+        x = jnp.asarray(rng.randn(n, 3).astype(np.float32) * 0.3)
+        wts, bs = [], []
+        for lyr in params['layers']:
+            v = lyr['v']
+            w = lyr['g'] * v / jnp.linalg.norm(v, axis=1, keepdims=True)
+            wts.append(w)
+            bs.append(lyr['b'])
+        jac = skinning_jac_pallas(
+            x, tuple(wts), tuple(bs),
+            frame.bone_transforms.reshape(24, 16),
+            frame.coord_min, frame.coord_max, frame.center, tile=128)
+        J_ref = forward_skinning_jac(skin_fn, frame, x)
+        np.testing.assert_allclose(np.asarray(jac), np.asarray(J_ref),
+                                   rtol=1e-4, atol=1e-5)

@@ -367,7 +367,7 @@ class TestShadingGradientParity:
                 {'rots_full': jnp.asarray(s['rots_full'])[None],
                  'Jtrs_posed': jnp.asarray(s['Jtr_posed'])[None],
                  'latent_code': jnp.asarray(s['latent'])})
-            rgb, ws = shade_samples(
+            rgb, ws, _ = shade_samples(
                 params, cfg, gen, frame, jnp.asarray(pts),
                 jnp.asarray(z_vals), jnp.asarray(T_fwd),
                 jnp.asarray(mask), jnp.asarray(dirs), jnp.asarray(dirs),
@@ -456,7 +456,7 @@ class TestImplicitDiffGradientParity:
                 {'rots_full': jnp.asarray(s['rots_full'])[None],
                  'Jtrs_posed': jnp.asarray(s['Jtr_posed'])[None],
                  'latent_code': jnp.asarray(s['latent'])})
-            rgb, ws = shade_samples(
+            rgb, ws, _ = shade_samples(
                 params, cfg, gen, frame, jnp.asarray(pts),
                 jnp.asarray(z_vals), jnp.asarray(T_fwd),
                 jnp.asarray(mask), jnp.asarray(dirs), jnp.asarray(dirs),

@@ -267,7 +267,7 @@ class TestIdiffKernelJac:
 
         def loss_fn(p, use_jac):
             pf = color_pose_feature(p['color'], cfg.color, pose_cond)
-            rgb, ws = shade_samples(
+            rgb, ws, _ = shade_samples(
                 p, cfg, generate_sdf(p, cfg, inp.rots, inp.Jtrs,
                                      inp.geo_latent),
                 inp.frame, s.points_norm, s.z_vals, s.transforms,
@@ -379,3 +379,123 @@ class TestBf16Shading:
         grads = jax.jit(jax.grad(loss_fn))(params)
         for leaf in jax.tree.leaves(grads):
             assert np.isfinite(np.asarray(leaf)).all()
+
+
+class TestShadePack:
+    """ModelConfig.shade_pack: the implicit-diff correction + shading +
+    color stages run on the left-packed valid subset. Per-point math is
+    row-independent, so when the static budget holds every valid sample
+    (n_samples_overflow == 0) results must match the dense path; when it
+    does not, the drop-tail contract degrades gracefully with exact
+    telemetry (the resolve-cap pattern)."""
+
+    def _outs(self, cfg, params, inp, training=False):
+        key = jax.random.PRNGKey(1)
+        return jax.jit(lambda p, i: render(p, cfg, i, key,
+                                           training=training))(params, inp)
+
+    def test_eval_packed_matches_dense(self, rng):
+        cfg = small_config()
+        params, fd, inp, _ = make_inputs(cfg, rng, n_rays=48)
+        out_p = self._outs(cfg._replace(shade_pack=True,
+                                        shade_pack_align=64), params, inp)
+        out_d = self._outs(cfg._replace(shade_pack=False), params, inp)
+        assert int(out_p['n_samples_overflow']) == 0
+        assert int(out_p['n_samples_shaded']) \
+            <= int(out_d['n_samples_dense'])
+        for k in ('rgb_values', 'weights_sum'):
+            np.testing.assert_allclose(np.asarray(out_p[k]),
+                                       np.asarray(out_d[k]),
+                                       rtol=1e-6, atol=1e-6, err_msg=k)
+
+    def test_train_values_and_grads_match(self, rng):
+        """Training mode with the implicit-diff skinning correction on
+        the packed subset: loss and every param gradient leaf match the
+        dense path (the pack gather's backward is a scatter-add)."""
+        cfg = small_config(train_skinning=True)
+        params, fd, inp, _ = make_inputs(cfg, rng, n_rays=16,
+                                         training=True)
+        key = jax.random.PRNGKey(1)
+
+        def loss(p, c):
+            out = render(p, c, inp, key, training=True)
+            return (jnp.sum(out['rgb_values'])
+                    + jnp.sum(out['weights_sum'])
+                    + jnp.sum(out['grad_theta'] ** 2))
+
+        cp = cfg._replace(shade_pack=True, shade_pack_align=64)
+        cd = cfg._replace(shade_pack=False)
+        lp, gp = jax.value_and_grad(loss)(params, cp)
+        ld, gd = jax.value_and_grad(loss)(params, cd)
+        np.testing.assert_allclose(float(lp), float(ld), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gd)):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(np.abs(b).max(), 1e-4)
+            assert np.abs(a - b).max() / scale < 1e-5, (a.shape,)
+
+    def test_overflow_graceful(self, rng):
+        """A deliberately tiny budget: overflow telemetry is exact and
+        the dropped-tail render stays finite and bounded."""
+        cfg = small_config()
+        params, fd, inp, _ = make_inputs(cfg, rng, n_rays=48)
+        out_d = self._outs(cfg._replace(shade_pack=False), params, inp)
+        tiny = cfg._replace(shade_pack=True, shade_pack_frac=0.05,
+                            shade_pack_align=64)
+        out_t = self._outs(tiny, params, inp)
+        n_valid = int(out_d['n_samples_valid'])
+        K = int(out_t['n_samples_shaded'])
+        assert int(out_t['n_samples_overflow']) == max(n_valid - K, 0)
+        rgb = np.asarray(out_t['rgb_values'])
+        assert np.isfinite(rgb).all()
+        assert ((rgb >= 0) & (rgb <= 1)).all()
+        ws = np.asarray(out_t['weights_sum'])
+        assert np.isfinite(ws).all() and (ws <= 1 + 1e-6).all()
+
+
+class TestIdiffStandaloneJac:
+    def test_standalone_kernel_matches_linearize(self, rng, monkeypatch):
+        """cfg.idiff_standalone_jac: the one-shot Pallas Jacobian path
+        (interpret mode via ARAH_FORCE_PALLAS) must produce the same
+        loss AND parameter gradients as the linearize path."""
+        import jax
+        from arah_tpu.render.ray_tracing import trace_and_sample
+        from arah_tpu.render.renderer import (color_pose_feature,
+                                              generate_sdf, make_sdf_fn,
+                                              make_skin_fn, shade_samples)
+
+        cfg = small_config(train_skinning=True)
+        params, fd, inp, _ = make_inputs(cfg, rng, n_rays=16, training=True)
+        gen = generate_sdf(params, cfg, inp.rots, inp.Jtrs, inp.geo_latent)
+        cam_b = jnp.broadcast_to(inp.cam_loc, inp.ray_dirs.shape)
+        trace = trace_and_sample(
+            cfg.tracer, make_sdf_fn(gen, True),
+            make_skin_fn(params, cfg, True),
+            inp.frame, inp.smpl, cam_b, inp.ray_dirs, inp.near, inp.far,
+            jax.random.PRNGKey(3), eval_mode=False)
+        trace = jax.lax.stop_gradient(trace)
+        s = trace.samples
+        pose_cond = dict(inp.pose_cond_extra)
+        pose_cond.update({'rots_full': inp.rots_full,
+                          'Jtrs_posed': inp.Jtrs_posed})
+        monkeypatch.setenv('ARAH_FORCE_PALLAS', '1')
+
+        def loss_fn(p, standalone):
+            c = cfg._replace(idiff_standalone_jac=standalone)
+            pf = color_pose_feature(p['color'], c.color, pose_cond)
+            rgb, ws, _ = shade_samples(
+                p, c, generate_sdf(p, c, inp.rots, inp.Jtrs,
+                                   inp.geo_latent),
+                inp.frame, s.points_norm, s.z_vals, s.transforms,
+                s.converge_mask, inp.ray_dirs, inp.ray_dirs, pf,
+                training=True)
+            return jnp.sum(rgb ** 2) + jnp.sum(ws)
+
+        l_k, g_k = jax.jit(jax.value_and_grad(loss_fn),
+                           static_argnums=1)(params, True)
+        l_a, g_a = jax.jit(jax.value_and_grad(loss_fn),
+                           static_argnums=1)(params, False)
+        np.testing.assert_allclose(float(l_k), float(l_a), rtol=1e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5),
+            g_k, g_a)

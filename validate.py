@@ -28,7 +28,9 @@ def main():
     p.add_argument('--novel-pose-view', default=None,
                    help='evaluate novel poses from this single view '
                         '(subsampling rate 1, reference validate.py:47-50)')
-    p.add_argument('--chunk', type=int, default=4096)
+    p.add_argument('--chunk', type=int, default=None,
+                   help='eval ray chunk; default: pad-aware auto-chunk '
+                   '(evaluator.pick_eval_chunk)')
     p.add_argument('--max-frames', type=int, default=-1)
     p.add_argument('--devices', type=int, default=0,
                    help='shard eval ray chunks over the first N devices '
@@ -85,7 +87,8 @@ def main():
         from arah_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(args.devices)
         # chunks are split evenly over the data axis
-        args.chunk -= args.chunk % args.devices
+        if args.chunk is not None:
+            args.chunk -= args.chunk % args.devices
         print(f'sharded eval over {args.devices} devices')
 
     from arah_tpu.utils.lpips_jax import metric_key
