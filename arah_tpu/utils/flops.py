@@ -54,15 +54,24 @@ def train_step_flops(*, n_rays: int, n_samples: int, n_verts: int,
                      corr_iters: float, march_iters: float,
                      iso_iters: float,
                      n_eik: int = 1024, n_reg: int = 1024 * 3,
-                     train_skinning_net: bool = True) -> dict:
+                     train_skinning_net: bool = True,
+                     shade_frac: float = 1.0,
+                     idiff_standalone: bool = False) -> dict:
     """Matmul-FLOPs breakdown of one flagship training step.
 
     siren_shapes/skin_shapes/color_shapes: [(out, in), ...] of the actual
     generated-SIREN / skinning-MLP / color-MLP weights.
     hypernet_params: total hypernetwork parameter count.
+    shade_frac: fraction of dense (ray, sample) slots actually shaded
+    (ModelConfig.shade_pack budget; scales the shading/color/implicit-
+    diff blocks — the tracer still runs on every dense slot).
+    idiff_standalone: the implicit-diff Jacobian comes from the one-shot
+    kernel (primal + 3 tangent sweeps, no backward) instead of the XLA
+    linearize whose tangent passes sit inside the differentiated graph.
     Returns {'total': float, 'blocks': {name: flops}}.
     """
-    N = n_rays * n_samples
+    N_dense = n_rays * n_samples
+    N = int(round(N_dense * shade_frac))
     skin = mlp_fwd_flops(skin_shapes)
     siren = mlp_fwd_flops(siren_shapes)
     color = mlp_fwd_flops(color_shapes)
@@ -76,9 +85,10 @@ def train_step_flops(*, n_rays: int, n_samples: int, n_verts: int,
         # color MLP fwd + 2x bwd at N points
         'color': 3 * N * color,
         # canonical-correspondence Broyden: KNN+skinning init, then
-        # (skinning fwd + LBS blend) per iteration per sample point
-        'corr_init': N * (knn + skin + lbs),
-        'corr_loop': int(N * corr_iters * (skin + lbs)),
+        # (skinning fwd + LBS blend) per iteration per DENSE sample
+        # point (the tracer runs before packing)
+        'corr_init': N_dense * (knn + skin + lbs),
+        'corr_loop': int(N_dense * corr_iters * (skin + lbs)),
         # sphere-trace march: KNN + skinning + LBS + SIREN per iteration
         # per ray (the march runs on ray heads, not samples)
         'march_loop': int(n_rays * march_iters * (knn + skin + lbs + siren)),
@@ -95,7 +105,11 @@ def train_step_flops(*, n_rays: int, n_samples: int, n_verts: int,
         # per-frame hypernetwork fwd + 2x bwd (one pass per step)
         'hypernet': 3 * 2 * hypernet_params,
     }
-    if train_skinning_net:
+    if train_skinning_net and idiff_standalone:
+        # one-shot Jacobian kernel (primal + 3 tangent sweeps, no
+        # backward) + the differentiable primal pass (fwd + 2x bwd)
+        blocks['implicit_diff'] = N * 7 * (skin + lbs)
+    elif train_skinning_net:
         # implicit-diff correction: jacfwd of forward_skinning at N
         # points (primal + 3 tangents) + the value pass, fwd and bwd
         blocks['implicit_diff'] = 3 * N * 5 * (skin + lbs)

@@ -122,7 +122,10 @@ siren_s, skin_s, color_s, hyper_p = model_shapes(params, gen0)
 common = dict(n_rays=n_rays, n_samples=cfg.tracer.n_steps, n_verts=6890,
               siren_shapes=siren_s, skin_shapes=skin_s,
               color_shapes=color_s, hypernet_params=hyper_p,
-              train_skinning_net=True)
+              train_skinning_net=True,
+              shade_frac=cfg.shade_pack_frac if cfg.shade_pack else 1.0,
+              idiff_standalone=(cfg.idiff_standalone_jac
+                                and jax.default_backend() == 'tpu'))
 f_lo = train_step_flops(corr_iters=0, march_iters=0, iso_iters=0,
                         **common)
 f_hi = train_step_flops(corr_iters=cfg.tracer.corr_max_steps,
