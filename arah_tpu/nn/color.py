@@ -58,9 +58,12 @@ class ColorConfig(NamedTuple):
     # residuals) never touch HBM. Unlike fold_input, the per-component
     # partial dots here read VMEM, so the split costs nothing. TPU-only
     # dispatch (color_apply); ARAH_DISABLE_PALLAS=1 escapes to XLA.
+    # tiles: fwd 1024 / bwd 512 measured best on v5e (interleaved sweep,
+    # round 5: 1024x512 +1.0% over 512x256; the color kernels keep no
+    # chain residents, so both fit scoped VMEM comfortably)
     use_pallas: bool = True
-    pallas_tile: int = 512
-    pallas_tile_bwd: int = 256
+    pallas_tile: int = 1024
+    pallas_tile_bwd: int = 512
 
 
 def _dims(cfg: ColorConfig):

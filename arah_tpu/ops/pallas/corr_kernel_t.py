@@ -482,12 +482,17 @@ def _make_jac_kernel(n_layers, softmax_scale):
 @partial(jax.jit, static_argnames=('tile', 'softmax_scale', 'interpret'))
 def skinning_jac_pallas(x_hat, skin_weights, skin_biases, bones16,
                         coord_min, coord_max, center,
-                        tile: int = 2048, softmax_scale: float = 20.0,
+                        tile: int = 1024, softmax_scale: float = 20.0,
                         interpret: bool | None = None):
     """Exact forward-skinning Jacobian d xb / d x_hat at (N, 3) metric
     canonical points, as one fused (k, T)-layout Pallas pass. Pads N to
     a tile multiple. Non-differentiable (callers stop-grad the J anyway,
-    `renderer.py:shade_samples`)."""
+    `renderer.py:shade_samples`).
+
+    tile 1024: unlike the solver kernel (tile 2048, transient state),
+    the in-kernel linearize keeps every primal intermediate resident for
+    the three tangent sweeps — measured 20.5 MB scoped VMEM at tile 2048
+    on v5e (> the 16 MB limit), fits at 1024."""
     if interpret is None:
         interpret = not _on_tpu()
     n = x_hat.shape[0]

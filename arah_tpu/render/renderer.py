@@ -82,18 +82,24 @@ class ModelConfig(NamedTuple):
     shade_resid_bf16: bool = False
     # shade only the valid samples: the tracer's converge_mask is known
     # before shading, so the implicit-diff correction, the fused shade
-    # pair and the color MLP run on a left-packed (K,) subset instead of
-    # every dense (ray, sample) slot (measured valid fraction ~0.87 on
-    # the flagship bench scene — the reference boolean-indexes the same
-    # set, `implicit_differentiable_renderer.py:284-296`). K is the
-    # static budget ceil(frac * N) rounded up to shade_pack_align; if a
-    # batch ever has more valid samples than K the tail (flat ray-major
-    # order) is dropped — density 0, same as an unconverged sample —
-    # with the overflow count surfaced as `n_samples_overflow` telemetry
-    # (graceful-degradation contract like the solver resolve caps;
-    # tests/test_renderer.py::TestShadePack). frac 1.0 packs without
-    # any drop risk (still aligns kernel tiles); False = dense slots.
-    shade_pack: bool = True
+    # pair and the color MLP can run on a left-packed (K,) subset
+    # instead of every dense (ray, sample) slot (measured valid fraction
+    # ~0.87 on the flagship bench scene — the reference boolean-indexes
+    # the same set, `implicit_differentiable_renderer.py:284-296`). K is
+    # the static budget ceil(frac * N) rounded up to shade_pack_align;
+    # overflow drops the flat-order tail (density 0, like an unconverged
+    # sample) with exact `n_samples_overflow` telemetry — the solver
+    # resolve-cap contract (tests/test_renderer.py::TestShadePack).
+    # MEASURED NEGATIVE on v5e (round 5, interleaved 8192-ray A/B):
+    # 32.3k packed vs 45.5k dense rays/s (0.71x) — the jnp.nonzero
+    # index build, the input gathers and the rgb/density scatters (plus
+    # their backward scatter-adds) lower to ~70 ms of serialized
+    # scatter/gather HLO on TPU, an order of magnitude more than the
+    # ~13% of shading compute the pack saves. The reference's
+    # boolean-index pack is the right trade on a GPU's native gathers;
+    # dense slots are the right trade on the MXU. Default OFF; kept as
+    # a value-pinned A/B (bench_ablate 'pack').
+    shade_pack: bool = False
     shade_pack_frac: float = 0.95
     shade_pack_align: int = 512
     # implicit-diff correction Jacobian via ONE batched jax.linearize +

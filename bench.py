@@ -154,9 +154,15 @@ except Exception as e:
     print('cost_analysis unavailable:', e, file=sys.stderr)
 
 state, losses = step(state, batch, key)
-jax.block_until_ready(losses['loss'])
+float(losses['loss'])
 # median over BENCH_ROUNDS timed rounds (the axon-tunnelled TPU's
-# wall-clock drifts; a single window is not a measurement — PERF.md)
+# wall-clock drifts; a single window is not a measurement — PERF.md).
+# Round-5 finding: the timing barrier is a HOST FETCH of the last
+# round's loss, NOT block_until_ready — under the axon tunnel
+# block_until_ready can return before remote execution finishes (a
+# 279 s backlog was observed draining behind "complete" dispatches);
+# the device executes in-order, so fetching the last scalar waits for
+# the whole timed block.
 per_round = []
 i = 0
 for r in range(rounds):
@@ -164,8 +170,12 @@ for r in range(rounds):
     for _ in range(iters):
         state, losses = step(state, batch, jax.random.fold_in(key, i))
         i += 1
-    jax.block_until_ready(losses['loss'])
+    float(losses['loss'])
     per_round.append((time.perf_counter() - t0) / iters)
+if min(per_round) < n_rays / 5e5:
+    print('BENCH ERROR: impossible step time measured — execution '
+          'barrier broken', file=sys.stderr)
+    sys.exit(4)
 dt = float(np.median(per_round))
 peak_flops, peak_hbm = device_peaks()
 out = {'rays_per_s': n_rays / dt, 'step_ms': dt * 1e3,
@@ -209,12 +219,16 @@ def eval_bench():
         out = render(params, cfg, inp, key, training=False)
         return out['rgb_values'], out['weights_sum']
 
+    import numpy as _np
+
     out = run(params, inp)
-    jax.block_until_ready(out)
+    _np.asarray(out[0]).ravel()[0]
     t0 = time.perf_counter()
     for _ in range(iters):
         out = run(params, inp)
-    jax.block_until_ready(out)
+    # host fetch as barrier (see TRAIN_SNIPPET note); identical-dispatch
+    # replay is irrelevant here only because timing uses the fetch
+    _np.asarray(out[0]).ravel()[0]
     dt = (time.perf_counter() - t0) / iters
     return n_rays / dt
 

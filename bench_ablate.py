@@ -28,8 +28,13 @@ def main():
     enable_compilation_cache()
     from __graft_entry__ import _flagship_config, _build_scene
 
-    def variant(name):
-        cfg = _flagship_config()
+    def variant(name, cfg=None):
+        if cfg is None:
+            cfg = _flagship_config()
+        if '+' in name:                       # composed: a+b+c
+            for part in name.split('+'):
+                cfg = variant(part, cfg)
+            return cfg
         if name == 'default':
             return cfg
         if name == 'xla_f32':
@@ -67,6 +72,8 @@ def main():
                 pallas_tile=int(fwd), pallas_tile_bwd=int(bwd)))
         if name == 'nopack':                  # r5: dense-slot shading
             return cfg._replace(shade_pack=False)
+        if name == 'pack':                    # r5: packed shading (A/B)
+            return cfg._replace(shade_pack=True)
         if name.startswith('packfrac'):       # packfrac<percent>
             return cfg._replace(shade_pack_frac=int(name[8:]) / 100.0)
         if name == 'nostandjac':              # r5: XLA linearize J path
@@ -139,10 +146,15 @@ def main():
         key = jax.random.PRNGKey(2)
         for name in names:
             # donate=False: every variant steps repeatedly from the SAME
-            # state; donation would delete it after the first call
+            # state; donation would delete it after the first call.
+            # The key is folded per call: the axon tunnel runtime can
+            # replay identical dispatches (same executable + same input
+            # buffers) without executing, which round 5 measured as a
+            # physically impossible 1.7M rays/s.
             step = make_train_step(variant(name), loss_w, optimizer,
                                    donate=False)
-            fns[name] = lambda step=step: step(state, batch, key)[1]['loss']
+            fns[name] = lambda i, step=step: step(
+                state, batch, jax.random.fold_in(key, i))[1]['loss']
     else:
         from arah_tpu.render.renderer import render
         cfg0 = variant(names[0])
@@ -150,13 +162,25 @@ def main():
         key = jax.random.PRNGKey(1)
         for name in names:
             cfg = variant(name)
-            f = jax.jit(lambda p, i, cfg=cfg: render(
-                p, cfg, i, key, training=False)['rgb_values'])
-            fns[name] = lambda f=f: f(params, inp)
+            f = jax.jit(lambda p, i, k, cfg=cfg: render(
+                p, cfg, i, jax.random.fold_in(key, k),
+                training=False)['rgb_values'])
+            fns[name] = lambda i, f=f: f(params, inp, i)
 
-    for name, f in fns.items():
+    def barrier(out):
+        # HOST FETCH, not block_until_ready: under the axon tunnel
+        # block_until_ready can return before remote execution finishes
+        # (round-5 finding: a 279 s backlog drained behind "complete"
+        # dispatches). The device executes in-order, so fetching any
+        # element of the LAST result is a correct barrier for the whole
+        # timed block.
+        return np.asarray(jax.tree.leaves(out)[0]).ravel()[0]
+
+    seq = 0
+    for name in list(fns):
         t0 = time.perf_counter()
-        jax.block_until_ready(f())
+        barrier(fns[name](seq))
+        seq += 1
         print(f'compiled {name} in {time.perf_counter() - t0:.0f}s',
               flush=True)
 
@@ -165,11 +189,14 @@ def main():
         for name in names:
             t0 = time.perf_counter()
             for _ in range(args.iters):
-                out = fns[name]()
-            jax.block_until_ready(out)
+                out = fns[name](seq)
+                seq += 1
+            barrier(out)
             dt = (time.perf_counter() - t0) / args.iters
             times[name].append(dt)
-            print(f'round {r} {name:12s} {args.rays / dt:9.0f} rays/s',
+            rs = args.rays / dt
+            flag = '  [IMPOSSIBLE — barrier broken?]' if rs > 5e5 else ''
+            print(f'round {r} {name:12s} {rs:9.0f} rays/s{flag}',
                   flush=True)
 
     print('--- medians ---')

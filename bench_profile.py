@@ -22,6 +22,9 @@ import sys
 
 BUCKETS = [
     # (bucket, regex over op name)
+    ('color fwd kernel', r'color_fwd_pallas|_color_fwd_kernel'),
+    ('color bwd kernel', r'color_bwd_pallas|_color_bwd_kernel'),
+    ('skinning jac kernel', r'skinning_jac_pallas|_jac_kernel'),
     ('shade fwd kernel', r'shade_pallas|_shade_kernel'),
     ('shade bwd kernel', r'shade_bwd|_shade_bwd_kernel'),
     ('corr kernel', r'corr_search_pallas|corr_kernel'),

@@ -134,10 +134,11 @@ def test_convert_then_validate_pixel_identity(tmp_path):
     params = restored['params']
     d_idx = int(item['inputs.data_idx'])
     latent = params['latent'][min(d_idx, params['latent'].shape[0] - 1)]
-    # chunk must match the CLI's --chunk default: a different chunk size
-    # compiles a different program whose reassociation noise the 30x
-    # sine chain amplifies into occasional one-ulp pixel diffs
-    m = evaluate_frame(params, model_cfg, item, latent, chunk=4096)
+    # chunk must match the CLI's --chunk default (now the pad-aware
+    # auto-chunk, chunk=None): a different chunk size compiles a
+    # different program whose reassociation noise the 30x sine chain
+    # amplifies into occasional one-ulp pixel diffs
+    m = evaluate_frame(params, model_cfg, item, latent, chunk=None)
     ref_png_path = tmp_path / 'rgb_inproc.png'
     save_image(str(ref_png_path), m['rgb_pred'])
     assert ref_png_path.read_bytes() == cli_png, \
