@@ -106,6 +106,19 @@ def main():
             return cfg._replace(tracer=cfg.tracer._replace(
                 corr_phase1_steps=0, march_phase1_steps=0,
                 iso_phase1_steps=0))
+        if name == 'tuned8':                  # r5 honest-cap candidate:
+            # corr phase1 8 with a cap sized to the measured straggler
+            # survival at 8192 rays (x1.5 margin); march/iso stay at 16
+            # (their survival decays too slowly for a lower cutoff at
+            # honest caps) with the march cap raised past its measured
+            # ~1272 actives-past-16
+            return cfg._replace(tracer=cfg.tracer._replace(
+                corr_phase1_steps=8, corr_resolve_cap=32768,
+                march_phase1_steps=16, march_resolve_cap=2048,
+                iso_phase1_steps=16, iso_resolve_cap=2048))
+        if name == 'fixcaps':                 # default cutoffs, safe caps
+            return cfg._replace(tracer=cfg.tracer._replace(
+                march_resolve_cap=2048, iso_resolve_cap=2048))
         if name.startswith('allsplitbig'):    # allsplitbig<k>: 2x caps
             k = int(name[11:])
             return cfg._replace(tracer=cfg.tracer._replace(
